@@ -1,0 +1,157 @@
+"""Unbiased (exact) spherical-rectangle IoU — TPU-resident oracle.
+
+Exact IoU of two spherical rectangles via spherical excess (Gauss–Bonnet):
+each boundary is a great-circle arc, each box contributes 4 plane normals; the
+intersection polygon's vertices are original corners plus pairwise boundary
+intersections, filtered by an inside-all-8-planes test; the area is the sum of
+interior angles minus (n-2)pi.
+
+The reference implementation (sphdet/iou/unbiased_iou_bfov.py, numpy,
+CPU-only, 46 s / 1M pairs) uses data-dependent shapes (np.where + bincount +
+per-pair loops). Here the whole computation is re-expressed with a fixed
+40-candidate mask (4 + 4 corners, 16 + 16 cross-intersections), making it one
+fused elementwise XLA program: differentiable where meaningful, batched, and
+fast enough to serve as a same-device oracle in tests and as an NMS backend.
+
+Input boxes are (..., 4|5) in **radians**: (theta, phi, fov_x, fov_y[, gamma]).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.boxes import normalize, spherical_box_area
+
+# Inside-plane tolerance. The reference (fp64) rounds dots to 8 decimals; in
+# fp32 on TPU the on-plane dot noise is ~1e-7, so the tolerance must sit above
+# it but below the smallest genuine inside-margin. Empirically the error
+# plateau vs an fp64 oracle is flat (max err < 1e-4 over 10k random pairs) for
+# tol in [3e-7, 1e-5]; 1e-6 is its midpoint.
+_TOL = 1e-6
+
+
+def _rodrigues(axis: jax.Array, v: jax.Array, gamma: jax.Array) -> jax.Array:
+    """Rotate v about unit axis by gamma (unbiased_iou_rbfov.py:10-32)."""
+    cg = jnp.cos(gamma)[..., None]
+    sg = jnp.sin(gamma)[..., None]
+    return (
+        v * cg
+        + jnp.cross(axis, v) * sg
+        + axis * jnp.sum(axis * v, axis=-1, keepdims=True) * (1.0 - cg)
+    )
+
+
+def _box_planes_and_corners(boxes: jax.Array):
+    """Boundary plane normals (..., 4, 3), corner vertices (..., 4, 3) and the
+    plane-pair index (corner i lies on planes PAIRS[i]).
+
+    Normal order: [left, right, up, down]; a point is inside the box iff its
+    dot product with every rotated normal-derived corner plane is >= 0
+    (reference getNormal, unbiased_iou_bfov.py:14-43).
+    """
+    theta, phi = boxes[..., 0], boxes[..., 1]
+    hx, hy = boxes[..., 2] / 2.0, boxes[..., 3] / 2.0
+
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    look = jnp.stack([sp * ct, sp * st, cp], axis=-1)
+    right = jnp.stack([-st, ct, jnp.zeros_like(st)], axis=-1)
+    up = jnp.stack([-cp * ct, -cp * st, sp], axis=-1)
+
+    shx, chx = jnp.sin(hx)[..., None], jnp.cos(hx)[..., None]
+    shy, chy = jnp.sin(hy)[..., None], jnp.cos(hy)[..., None]
+    n_left = -chx * right + shx * look
+    n_right = chx * right + shx * look
+    n_up = -chy * up + shy * look
+    n_down = chy * up + shy * look
+    normals = jnp.stack([n_left, n_right, n_up, n_down], axis=-2)  # (..., 4, 3)
+
+    if boxes.shape[-1] == 5:
+        normals = _rodrigues(look[..., None, :], normals, boxes[..., 4:5])
+
+    # Corner vertices = intersections of adjacent boundary planes, in the
+    # reference's order: (left,up), (down,left), (up,right), (right,down).
+    pair_a = jnp.array([0, 3, 2, 1])
+    pair_b = jnp.array([2, 0, 1, 3])
+    corners = normalize(
+        jnp.cross(normals[..., pair_a, :], normals[..., pair_b, :])
+    )  # (..., 4, 3)
+    return normals, corners, (pair_a, pair_b)
+
+
+def unbiased_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Exact spherical IoU, elementwise over matching leading shapes."""
+    n1, v1, (pa, pb) = _box_planes_and_corners(boxes1)
+    n2, v2, _ = _box_planes_and_corners(boxes2)
+
+    # 40 candidate vertices. Cross intersections: for plane pair (i of box1,
+    # j of box2) both +-cross directions are candidates.
+    i_idx = jnp.repeat(jnp.arange(4), 4)
+    j_idx = jnp.tile(jnp.arange(4), 4)
+    n1e = n1[..., i_idx, :]  # (..., 16, 3)
+    n2e = n2[..., j_idx, :]
+    raw12 = jnp.cross(n1e, n2e)
+    cross12 = normalize(raw12, eps=1e-10)
+    cross21 = -cross12
+    cands = jnp.concatenate([v1, v2, cross12, cross21], axis=-2)  # (..., 40, 3)
+
+    # Nearly-parallel boundary planes (|cross| ~ 0) have no meaningful
+    # intersection point; their normalized direction is noise that can sneak
+    # through the inside test on near-identical pairs.
+    cross_ok = jnp.sum(raw12 * raw12, axis=-1) > 1e-8  # (..., 16)
+
+    # Near-identical pairs need special treatment: duplicated corners and
+    # degenerate cross-candidates poison the spherical-excess sum (the
+    # reference's disabled remove_redundant_points_by_DFS chased the same
+    # defect, and its oracle loops forever on identical pairs). We detect
+    # pair-level degeneracy — every box1 corner has a coincident box2
+    # corner — and only then force box1's corners valid and dedup the rest;
+    # generic pairs keep the exact reference-parity path.
+    d2_corner = jnp.sum(
+        (v1[..., :, None, :] - v2[..., None, :, :]) ** 2, axis=-1
+    )  # (..., 4, 4)
+    near_identical = jnp.all(jnp.min(d2_corner, axis=-1) < 1e-6, axis=-1)  # (...)
+    v1_forced = jnp.any(d2_corner < 1e-6, axis=-1) & near_identical[..., None]
+
+    # Edge planes at each candidate: the two planes whose intersection it is.
+    # Interior angle at the vertex = arccos(-e0 . e1).
+    e0 = jnp.concatenate([n1[..., pa, :], n2[..., pa, :], n1e, n2e], axis=-2)
+    e1 = jnp.concatenate([n1[..., pb, :], n2[..., pb, :], n2e, n1e], axis=-2)
+
+    # Inside-all-8-planes test with tolerance. NOTE: explicit multiply-sum,
+    # not einsum/matmul — tiny-contraction dots must stay in fp32 on the VPU
+    # (an MXU matmul would run at bf16 default precision and the ~1e-3 error
+    # breaks the on-plane tolerance test).
+    planes = jnp.concatenate([n1, n2], axis=-2)  # (..., 8, 3)
+    dots = jnp.sum(cands[..., :, None, :] * planes[..., None, :, :], axis=-1)
+    inside = jnp.all(dots >= -_TOL, axis=-1)  # (..., 40)
+    false16 = jnp.zeros_like(cross_ok)
+    force = jnp.concatenate(
+        [v1_forced, jnp.zeros_like(v1_forced), false16, false16], axis=-1
+    )
+    drop = jnp.concatenate(
+        [jnp.zeros_like(v1_forced)] * 2 + [~cross_ok, ~cross_ok], axis=-1
+    )
+    inside_plain = inside
+    inside = (inside | force) & ~drop
+
+    # First-wins dedup of coincident valid candidates (degenerate pairs only).
+    d2_all = jnp.sum(
+        (cands[..., :, None, :] - cands[..., None, :, :]) ** 2, axis=-1
+    )  # (..., 40, 40)
+    earlier = jnp.tril(jnp.ones((40, 40), dtype=bool), k=-1)
+    dup = jnp.any((d2_all < 1e-8) & earlier & inside[..., None, :], axis=-1)
+    inside = jnp.where(near_identical[..., None], inside & ~dup, inside_plain)
+
+    cos_int = jnp.clip(-jnp.sum(e0 * e1, axis=-1), -1.0, 1.0)
+    angles = jnp.arccos(cos_int)  # (..., 40)
+    n_valid = jnp.sum(inside, axis=-1)
+    inter = jnp.sum(jnp.where(inside, angles, 0.0), axis=-1) - (
+        n_valid.astype(angles.dtype) - 2.0
+    ) * jnp.pi
+    inter = jnp.where(n_valid >= 3, inter, 0.0)
+
+    area1 = spherical_box_area(boxes1[..., 2], boxes1[..., 3])
+    area2 = spherical_box_area(boxes2[..., 2], boxes2[..., 3])
+    return (inter + eps) / (area1 + area2 - inter - eps)
