@@ -29,3 +29,24 @@ __all__ = [
     "sph2planar_boxes",
     "planar2sph_boxes",
 ]
+
+from .anchors import SphAnchorGenerator, SphSSDAnchorGenerator
+from .coders import DistancePointSphBBoxCoder, SphBBoxCoder
+from .assigner import AssignResult, MaxIoUAssigner
+from .sampler import RandomSampler, SampleResult, pseudo_sample
+from .nms import NMSResult, planar_batched_nms, sph_batched_nms
+
+__all__ += [
+    "SphAnchorGenerator",
+    "SphSSDAnchorGenerator",
+    "DistancePointSphBBoxCoder",
+    "SphBBoxCoder",
+    "AssignResult",
+    "MaxIoUAssigner",
+    "RandomSampler",
+    "SampleResult",
+    "pseudo_sample",
+    "NMSResult",
+    "planar_batched_nms",
+    "sph_batched_nms",
+]

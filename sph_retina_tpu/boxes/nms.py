@@ -1,0 +1,124 @@
+"""Spherical and planar NMS as fixed-shape masked suppression.
+
+The reference's SphNMS is a Python greedy loop calling a spherical IoU per
+step (sphdet/bbox/nms/sph_nms.py:62-74), and PlanarNMS converts to planar
+boxes for CUDA batched_nms (planar_nms.py:8-18). On TPU both become:
+
+1. top-k pre-selection (``nms_pre`` candidates, score-descending),
+2. one (k, k) IoU matrix — the fused Pallas pairwise kernel for spherical
+   backends, a cheap chart IoU for the planar path,
+3. an exact greedy scan as a ``fori_loop`` of k vectorized suppression steps
+   (classes kept apart by masking the IoU matrix, since spherical boxes
+   cannot use the coordinate-offset trick),
+4. top-``max_num`` of the survivors, returned as fixed-size arrays + mask.
+
+Everything is jit-compatible with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .formator import sph2planar_boxes
+
+NEG_INF = -1e10
+
+
+class NMSResult(NamedTuple):
+    boxes: jax.Array    # (max_num, D) spherical degrees
+    scores: jax.Array   # (max_num,)
+    labels: jax.Array   # (max_num,) int32
+    inds: jax.Array     # (max_num,) indices into the input arrays
+    valid: jax.Array    # (max_num,) bool
+
+
+def _pairwise_iou(boxes: jax.Array, backend: str) -> jax.Array:
+    # imported lazily: iou.api pulls in boxes.formator, so a module-level
+    # import here would be circular
+    from ..iou.api import sph_overlaps
+    from ..ops.pallas_iou import _on_tpu, sph2pob_iou_pairwise_tpu
+
+    if backend in ("planar", "planar_nms"):
+        planar = sph2planar_boxes(boxes)
+        if planar.shape[-1] == 4:  # xyxy
+            lt = jnp.maximum(planar[:, None, :2], planar[None, :, :2])
+            rb = jnp.minimum(planar[:, None, 2:], planar[None, :, 2:])
+            wh = jnp.maximum(rb - lt, 0.0)
+            inter = wh[..., 0] * wh[..., 1]
+            area = (planar[:, 2] - planar[:, 0]) * (planar[:, 3] - planar[:, 1])
+            return inter / (area[:, None] + area[None, :] - inter + 1e-8)
+        from ..iou.rotated import rotated_box_iou
+
+        return rotated_box_iou(planar[:, None, :], planar[None, :, :])
+    if backend in ("sph2pob_efficient", "sph2pob") and _on_tpu():
+        return sph2pob_iou_pairwise_tpu(boxes, boxes)
+    return sph_overlaps(boxes, boxes, backend)
+
+
+def _greedy_suppress(iou: jax.Array, valid: jax.Array, thr: float) -> jax.Array:
+    """Exact score-descending greedy NMS over a pre-sorted candidate set."""
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        kill = (iou[i] > thr) & (idx > i) & keep[i]
+        return keep & ~kill
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+def sph_batched_nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    idxs: jax.Array,
+    *,
+    iou_threshold: float = 0.5,
+    max_num: int = 100,
+    nms_pre: int = 1000,
+    backend: str = "sph2pob_efficient",
+    class_agnostic: bool = False,
+    valid_mask: jax.Array | None = None,
+) -> NMSResult:
+    """Per-class greedy NMS with a spherical (or planar-chart) IoU backend.
+
+    Args:
+        boxes: (N, 4|5) spherical boxes, degrees.
+        scores: (N,) confidence scores.
+        idxs: (N,) int class ids (suppression only within a class unless
+            ``class_agnostic``).
+        valid_mask: optional (N,) validity of padded inputs.
+    """
+    n = boxes.shape[0]
+    k = min(nms_pre, n)
+    s = scores if valid_mask is None else jnp.where(valid_mask, scores, NEG_INF)
+
+    top_scores, order = jax.lax.top_k(s, k)
+    top_boxes = boxes[order]
+    top_idxs = idxs[order]
+
+    iou = _pairwise_iou(top_boxes, backend)
+    if not class_agnostic:
+        same = top_idxs[:, None] == top_idxs[None, :]
+        iou = jnp.where(same, iou, 0.0)
+
+    keep = _greedy_suppress(iou, top_scores > NEG_INF / 2, iou_threshold)
+
+    m = min(max_num, k)
+    final_scores, sel = jax.lax.top_k(jnp.where(keep, top_scores, NEG_INF), m)
+    valid = final_scores > NEG_INF / 2
+    return NMSResult(
+        boxes=top_boxes[sel],
+        scores=jnp.where(valid, final_scores, 0.0),
+        labels=jnp.where(valid, top_idxs[sel], -1).astype(jnp.int32),
+        inds=order[sel],
+        valid=valid,
+    )
+
+
+def planar_batched_nms(boxes, scores, idxs, **kwargs) -> NMSResult:
+    """PlanarNMS parity: chart-space suppression, spherical boxes returned."""
+    kwargs["backend"] = "planar"
+    return sph_batched_nms(boxes, scores, idxs, **kwargs)

@@ -108,14 +108,19 @@ def spherical_box_area(alpha: jax.Array, beta: jax.Array) -> jax.Array:
 
 
 def is_valid_boxes(boxes: jax.Array, need_flag: bool = False):
-    """Validity predicate for degree-space boxes (box_formator.py:119-127)."""
+    """Validity predicate for degree-space boxes.
+
+    Bounds are inclusive, matching the reference check
+    (box_formator.py:119-127: theta <= 360, phi <= 180, alpha <= 360,
+    beta <= 180) — decode clamps land exactly on the bounds in fp32.
+    """
     theta, phi = boxes[..., 0], boxes[..., 1]
     alpha, beta = boxes[..., 2], boxes[..., 3]
     flag = (
-        (theta >= 0.0) & (theta < 360.0)
-        & (phi >= 0.0) & (phi < 180.0)
-        & (alpha > 0.0) & (alpha < 180.0)
-        & (beta > 0.0) & (beta < 180.0)
+        (theta >= 0.0) & (theta <= 360.0)
+        & (phi >= 0.0) & (phi <= 180.0)
+        & (alpha >= 0.0) & (alpha <= 360.0)
+        & (beta >= 0.0) & (beta <= 180.0)
     )
     if boxes.shape[-1] == 5:
         gamma = boxes[..., 4]

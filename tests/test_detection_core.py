@@ -1,0 +1,226 @@
+"""Detection core: anchors, coders, assignment, sampling, NMS."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_retina_tpu.boxes import (
+    MaxIoUAssigner,
+    RandomSampler,
+    SphAnchorGenerator,
+    SphBBoxCoder,
+    DistancePointSphBBoxCoder,
+    pseudo_sample,
+    planar_batched_nms,
+    sph_batched_nms,
+)
+from sph_retina_tpu.geometry import generate_boxes, is_valid_boxes
+
+
+# --------------------------------------------------------------------------- #
+# anchors
+# --------------------------------------------------------------------------- #
+def test_planar_base_anchor_math():
+    """mmdet docstring example: AnchorGenerator([16], [1.], [1.], [9]) on a
+    2x2 grid (mmdet/core/anchor/anchor_generator.py:44-51)."""
+    gen = SphAnchorGenerator(strides=[16], ratios=[1.0], scales=[1.0],
+                             base_sizes=[9], center_offset=0.0)
+    base = gen.base_anchors(0)
+    np.testing.assert_allclose(base, [[-4.5, -4.5, 4.5, 4.5]])
+    anchors = gen.single_level_grid_anchors((2, 2), 0)
+    assert anchors.shape == (4, 4)
+    # planar center of anchor 3 is (16, 16) on a 32x32 chart
+    np.testing.assert_allclose(anchors[3, 0], 16 / 32 * 360.0)
+    np.testing.assert_allclose(anchors[3, 1], 16 / 32 * 180.0)
+
+
+def test_retina_anchor_grid():
+    gen = SphAnchorGenerator(
+        strides=[8, 16, 32, 64, 128],
+        ratios=[0.5, 1.0, 2.0],
+        octave_base_scale=4,
+        scales_per_octave=3,
+    )
+    sizes = [(64, 128), (32, 64), (16, 32), (8, 16), (4, 8)]
+    levels = gen.grid_anchors(sizes)
+    assert len(levels) == 5
+    assert levels[0].shape == (64 * 128 * 9, 4)
+    flat = gen.flat_anchors(sizes)
+    # all anchors lie in valid spherical ranges (fov may exceed for large
+    # anchors near boundaries; theta/phi centers must be in range)
+    a = np.asarray(flat)
+    assert (a[:, 0] >= 0).all() and (a[:, 0] <= 360).all()
+    assert (a[:, 1] >= 0).all() and (a[:, 1] <= 180).all()
+    assert (a[:, 2] > 0).all() and (a[:, 3] > 0).all()
+
+
+def test_rbfov_anchor_has_zero_gamma():
+    gen = SphAnchorGenerator(strides=[8], ratios=[1.0], scales=[1.0],
+                             box_version=5)
+    anchors = gen.single_level_grid_anchors((4, 4), 0)
+    assert anchors.shape == (16, 5)
+    np.testing.assert_allclose(anchors[:, 4], 0.0)
+
+
+# --------------------------------------------------------------------------- #
+# coders
+# --------------------------------------------------------------------------- #
+def test_delta_coder_round_trip():
+    for version in (4, 5):
+        coder = SphBBoxCoder(box_version=version)
+        anchors = jnp.asarray(generate_boxes(64, version, seed=1))
+        gt = jnp.asarray(generate_boxes(64, version, seed=2))
+        deltas = coder.encode(anchors, gt)
+        rec = coder.decode(anchors, deltas)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(gt), atol=2e-3)
+
+
+def test_delta_coder_zero_deltas_identity():
+    coder = SphBBoxCoder(box_version=4)
+    anchors = jnp.asarray(generate_boxes(16, 4, seed=3))
+    rec = coder.decode(anchors, jnp.zeros((16, 4)))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(anchors), atol=1e-4)
+
+
+def test_delta_coder_means_stds():
+    coder = SphBBoxCoder(box_version=4, target_means=(0.1, 0.1, 0.0, 0.0),
+                         target_stds=(0.5, 0.5, 1.0, 1.0))
+    anchors = jnp.asarray(generate_boxes(16, 4, seed=4))
+    gt = jnp.asarray(generate_boxes(16, 4, seed=5))
+    rec = coder.decode(anchors, coder.encode(anchors, gt))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(gt), atol=2e-3)
+
+
+def test_decode_clamps_ranges():
+    coder = SphBBoxCoder(box_version=4)
+    anchors = jnp.asarray([[350.0, 170.0, 100.0, 100.0]])
+    big = jnp.asarray([[5.0, 5.0, 3.0, 3.0]])  # pushes far out of range
+    out = np.asarray(coder.decode(anchors, big))
+    assert bool(is_valid_boxes(jnp.asarray(out)))
+
+
+def test_distance_point_coder_round_trip():
+    coder = DistancePointSphBBoxCoder()
+    gt = jnp.asarray(generate_boxes(32, 4, seed=6))
+    # points at the box centers in chart pixels
+    sx, sy = 1024 / 360.0, 512 / 180.0
+    pts = jnp.stack([gt[:, 0] * sx, gt[:, 1] * sy], axis=-1)
+    d = coder.encode(pts, gt)
+    rec = coder.decode(pts, d)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(gt), atol=1e-3)
+
+
+# --------------------------------------------------------------------------- #
+# assignment
+# --------------------------------------------------------------------------- #
+def test_max_iou_assignment_semantics():
+    # 3 gts (last padded/invalid), 5 anchors
+    overlaps = jnp.asarray([
+        [0.9, 0.3, 0.0, 0.45, 0.1],
+        [0.0, 0.2, 0.6, 0.44, 0.3],
+        [0.99, 0.99, 0.99, 0.99, 0.99],  # padded row must be ignored
+    ])
+    gt_mask = jnp.asarray([True, True, False])
+    labels = jnp.asarray([7, 3, 1])
+    assigner = MaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.4,
+                              min_pos_iou=0.25, match_low_quality=True)
+    res = assigner(overlaps, gt_mask, labels)
+    gi = np.asarray(res.gt_inds)
+    # anchor0: 0.9 >= pos -> gt1; anchor1: 0.3 < neg -> bg;
+    # anchor2: 0.6 -> gt2; anchor3: 0.45 in [0.4, 0.5) -> ignore(-1),
+    # but low-quality: gt0's best anchor is 0 (0.9) — taken; gt1's best is 2.
+    # anchor4: 0.3 -> bg
+    assert gi[0] == 1 and gi[2] == 2
+    assert gi[1] == 0 and gi[4] == 0
+    assert gi[3] == -1
+    lab = np.asarray(res.labels)
+    assert lab[0] == 7 and lab[2] == 3 and lab[1] == -1
+
+
+def test_low_quality_match_rescues_gt():
+    # gt1's best anchor is below pos_thr but above min_pos_iou
+    overlaps = jnp.asarray([[0.45, 0.1], [0.2, 0.35]])
+    assigner = MaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.3)
+    res = assigner(overlaps, jnp.asarray([True, True]))
+    gi = np.asarray(res.gt_inds)
+    assert gi[0] == 1  # rescued by gt0
+    assert gi[1] == 2  # rescued by gt1
+
+
+def test_no_valid_gts_all_background():
+    overlaps = jnp.asarray([[0.9, 0.8]])
+    res = MaxIoUAssigner()(overlaps, jnp.asarray([False]))
+    assert (np.asarray(res.gt_inds) == 0).all()
+
+
+def test_samplers():
+    gt_inds = jnp.asarray([1, 0, 2, 0, 0, -1, 1, 0])
+    s = pseudo_sample(gt_inds)
+    np.testing.assert_array_equal(np.asarray(s.pos_mask),
+                                  [1, 0, 1, 0, 0, 0, 1, 0])
+    np.testing.assert_array_equal(np.asarray(s.neg_mask),
+                                  [0, 1, 0, 1, 1, 0, 0, 1])
+    sampler = RandomSampler(num=4, pos_fraction=0.5)
+    rng = jax.random.PRNGKey(0)
+    r = sampler(rng, gt_inds)
+    assert int(jnp.sum(r.pos_mask)) <= 2
+    assert int(jnp.sum(r.neg_mask)) <= 2
+    assert not bool(jnp.any(r.pos_mask & r.neg_mask))
+
+
+# --------------------------------------------------------------------------- #
+# NMS
+# --------------------------------------------------------------------------- #
+def _nms_fixture():
+    """Reference tests/test_nms.py:6-27 fixture: duplicates across classes."""
+    boxes = jnp.asarray([
+        [20, 40, 30, 30], [20, 40, 30, 30], [22, 38, 32, 28],
+        [60, 60, 10, 10], [60, 60, 10, 10],
+        [60, 60, 10, 10], [60, 60, 10, 10], [30, 10, 10, 10],
+        [30, 45, 45, 45], [80, 20, 66, 66],
+    ], dtype=jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6, 0.5, 0.85, 0.75, 0.65, 0.4, 0.3])
+    idxs = jnp.asarray([1, 1, 1, 1, 1, 2, 2, 2, 3, 3])
+    return boxes, scores, idxs
+
+
+def test_sph_nms_reference_fixture():
+    boxes, scores, idxs = _nms_fixture()
+    res = sph_batched_nms(boxes, scores, idxs, iou_threshold=0.5,
+                          max_num=10, nms_pre=10)
+    kept = sorted(np.asarray(res.inds)[np.asarray(res.valid)].tolist())
+    # class 1: keep 0 (dup 1,2 suppressed), keep 3 (dup 4 suppressed)
+    # class 2: keep 5 (dup 6 suppressed), keep 7
+    # class 3: 8 and 9 overlap little -> both kept
+    assert 0 in kept and 3 in kept and 5 in kept and 7 in kept
+    assert 1 not in kept and 2 not in kept and 4 not in kept and 6 not in kept
+
+
+def test_planar_nms_agrees_on_fixture():
+    boxes, scores, idxs = _nms_fixture()
+    res = planar_batched_nms(boxes, scores, idxs, iou_threshold=0.5,
+                             max_num=10, nms_pre=10)
+    kept = set(np.asarray(res.inds)[np.asarray(res.valid)].tolist())
+    assert {0, 3, 5, 7}.issubset(kept)
+    assert not {1, 2, 4, 6} & kept
+
+
+def test_nms_class_agnostic_and_padding():
+    boxes, scores, idxs = _nms_fixture()
+    res = sph_batched_nms(boxes, scores, idxs, iou_threshold=0.5,
+                          max_num=4, nms_pre=8, class_agnostic=True)
+    assert res.boxes.shape == (4, 4)
+    valid_mask = jnp.asarray([True] * 5 + [False] * 5)
+    res2 = sph_batched_nms(boxes, scores, idxs, iou_threshold=0.5,
+                           max_num=10, nms_pre=10, valid_mask=valid_mask)
+    kept = set(np.asarray(res2.inds)[np.asarray(res2.valid)].tolist())
+    assert kept <= {0, 1, 2, 3, 4}
+
+
+def test_nms_scores_sorted_and_jit():
+    boxes, scores, idxs = _nms_fixture()
+    f = jax.jit(lambda b, s, i: sph_batched_nms(
+        b, s, i, iou_threshold=0.5, max_num=6, nms_pre=10))
+    res = f(boxes, scores, idxs)
+    sc = np.asarray(res.scores)[np.asarray(res.valid)]
+    assert (np.diff(sc) <= 1e-6).all()
