@@ -1,0 +1,150 @@
+"""Training runtime: optimizer, LR schedule, data-parallel train step.
+
+Reference semantics (mmdet/apis/train.py:117-246 + schedule configs):
+SGD momentum 0.9, weight decay 5e-4, step LR with linear warmup, optional
+gradient clipping, frozen backbone stages. TPU-native execution model:
+
+- ONE jitted train step containing forward, loss, backward, and update;
+- data parallelism via ``jax.sharding``: the batch is sharded over the
+  ``data`` mesh axis and XLA inserts the gradient all-reduce over ICI —
+  no DDP wrapper, no NCCL calls (reference uses
+  MMDistributedDataParallel + torch.distributed);
+- multi-host: the same code runs under ``jax.distributed.initialize`` with a
+  process-spanning mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def step_lr_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    milestones=(80, 110),
+    gamma: float = 0.1,
+    warmup_iters: int = 500,
+    warmup_ratio: float = 0.001,
+) -> optax.Schedule:
+    """Linear warmup + epoch-milestone decay (schedule_120e parity:
+    configs sph_retinanet_r50_fpn_120e_pandora_old.py:26-36)."""
+
+    boundaries = {m * steps_per_epoch: gamma for m in milestones}
+    decay = optax.piecewise_constant_schedule(base_lr, boundaries)
+
+    def schedule(count):
+        warm = base_lr * (
+            warmup_ratio + (1.0 - warmup_ratio) * jnp.minimum(count, warmup_iters) / warmup_iters
+        )
+        return jnp.where(count < warmup_iters, warm, decay(count))
+
+    return schedule
+
+
+def build_optimizer(
+    schedule: optax.Schedule,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-4,
+    grad_clip: float | None = None,
+    frozen_prefixes: tuple = (),
+) -> optax.GradientTransformation:
+    """SGD+momentum+wd with optional clip and frozen parameter subtrees.
+
+    ``frozen_prefixes``: path prefixes (e.g. ('backbone/conv1',
+    'backbone/layer1')) whose gradients are zeroed — the reference's
+    ``frozen_stages=1`` (resnet.py config)."""
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain += [
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(schedule, momentum=momentum),
+    ]
+    tx = optax.chain(*chain)
+    if frozen_prefixes:
+        def label(params):
+            def walk(tree, path):
+                if not isinstance(tree, dict):
+                    joined = "/".join(path)
+                    frozen = any(joined.startswith(p) for p in frozen_prefixes)
+                    return "frozen" if frozen else "train"
+                return {k: walk(v, path + (k,)) for k, v in tree.items()}
+            return walk(params, ())
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label
+        )
+    return tx
+
+
+def create_train_state(model, cfg, rng, tx, sample_images) -> TrainState:
+    variables = model.init(rng, sample_images)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(model, cfg, tx, loss_fn: Callable):
+    """Build the jitted DP train step.
+
+    ``loss_fn(cfg, outputs..., anchors, gt...) -> dict`` is the detector's
+    functional loss (e.g. ``retina_loss``).
+    """
+    anchors = cfg.flat_anchors()
+
+    def train_step(state: TrainState, batch: dict):
+        def compute_loss(params):
+            cls_scores, bbox_preds = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"],
+            )
+            losses = loss_fn(
+                cfg, cls_scores, bbox_preds, anchors,
+                batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+            )
+            total = sum(losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, state.batch_stats,
+                               opt_state)
+        metrics = {"loss": total, **losses}
+        return new_state, metrics
+
+    return train_step
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch onto the mesh, sharded over the 'data' axis."""
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Fully replicate parameters/optimizer over the mesh."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), state
+    )

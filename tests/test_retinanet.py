@@ -1,0 +1,143 @@
+"""End-to-end RetinaNet: forward, loss, gradients, predict (tiny shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sph_retina_tpu.geometry import generate_boxes
+from sph_retina_tpu.losses import sph2pob_iou_loss
+from sph_retina_tpu.models import SphRetinaNet
+from sph_retina_tpu.models.single_stage import (
+    retina_config,
+    retina_loss,
+    retina_predict,
+)
+
+B, H, W = 2, 64, 128
+MAX_GT = 8
+NUM_CLASSES = 7
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = retina_config(NUM_CLASSES, img_size=(H, W))
+    model = SphRetinaNet(num_classes=NUM_CLASSES, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (B, H, W, 3))
+    variables = model.init(rng, images)
+    return cfg, model, variables, images
+
+
+def _gt_batch():
+    boxes = jnp.stack([
+        jnp.asarray(generate_boxes(MAX_GT, 4, seed=i)) for i in range(B)
+    ])
+    labels = jnp.tile(jnp.arange(MAX_GT) % NUM_CLASSES, (B, 1))
+    mask = jnp.tile(jnp.arange(MAX_GT) < 5, (B, 1))
+    return boxes, labels, mask
+
+
+def test_forward_shapes(setup):
+    cfg, model, variables, images = setup
+    cls_scores, bbox_preds = model.apply(variables, images)
+    sizes = cfg.featmap_sizes()
+    assert len(cls_scores) == 5
+    for (h, w), cs, bp in zip(sizes, cls_scores, bbox_preds):
+        assert cs.shape == (B, h * w * 9, NUM_CLASSES)
+        assert bp.shape == (B, h * w * 9, 4)
+    total = sum(h * w * 9 for h, w in sizes)
+    assert cfg.flat_anchors().shape == (total, 4)
+
+
+def test_loss_and_gradients(setup):
+    cfg, model, variables, images = setup
+    boxes, labels, mask = _gt_batch()
+    anchors = cfg.flat_anchors()
+
+    def loss_fn(params):
+        cls_scores, bbox_preds = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, images)
+        losses = retina_loss(cfg, cls_scores, bbox_preds, anchors,
+                             boxes, labels, mask)
+        return losses["loss_cls"] + losses["loss_bbox"], losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(total))
+    assert float(losses["loss_cls"]) > 0
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # the head's reg conv must receive gradient
+    g_reg = grads["bbox_head"]["retina_reg"]["kernel"]
+    assert float(jnp.abs(g_reg).sum()) > 0
+
+
+def test_loss_with_iou_loss_decoded(setup):
+    cfg0, model, variables, images = setup
+    cfg = retina_config(NUM_CLASSES, img_size=(H, W),
+                        loss_bbox=lambda *a, **k: sph2pob_iou_loss(
+                            *a, mode="ciou", **k),
+                        reg_decoded_bbox=True)
+    boxes, labels, mask = _gt_batch()
+    cls_scores, bbox_preds = model.apply(variables, images)
+    losses = retina_loss(cfg, cls_scores, bbox_preds, cfg.flat_anchors(),
+                         boxes, labels, mask)
+    assert np.isfinite(float(losses["loss_bbox"]))
+
+
+def test_no_gt_image(setup):
+    cfg, model, variables, images = setup
+    boxes, labels, _ = _gt_batch()
+    mask = jnp.zeros((B, MAX_GT), bool)
+    cls_scores, bbox_preds = model.apply(variables, images)
+    losses = retina_loss(cfg, cls_scores, bbox_preds, cfg.flat_anchors(),
+                         boxes, labels, mask)
+    assert np.isfinite(float(losses["loss_cls"]))
+    assert float(losses["loss_bbox"]) == 0.0
+
+
+def test_predict_shapes_and_validity(setup):
+    cfg, model, variables, images = setup
+    cls_scores, bbox_preds = model.apply(variables, images)
+    level_anchors = cfg.anchor_generator.grid_anchors(cfg.featmap_sizes())
+    res = retina_predict(cfg, cls_scores, bbox_preds, level_anchors)
+    assert res.boxes.shape == (B, cfg.max_per_img, 4)
+    assert res.scores.shape == (B, cfg.max_per_img)
+    assert res.labels.shape == (B, cfg.max_per_img)
+    sc = np.asarray(res.scores)
+    assert (sc[:, :-1] >= sc[:, 1:] - 1e-6).all()  # sorted
+    v = np.asarray(res.valid)
+    assert (np.asarray(res.labels)[~v] == -1).all()
+
+
+def test_train_step_jits_and_descends(setup):
+    import optax
+
+    cfg, model, variables, images = setup
+    boxes, labels, mask = _gt_batch()
+    anchors = cfg.flat_anchors()
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt_state, images, boxes, labels, mask):
+        def loss_fn(p):
+            cls_scores, bbox_preds = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]}, images)
+            losses = retina_loss(cfg, cls_scores, bbox_preds, anchors,
+                                 boxes, labels, mask)
+            return losses["loss_cls"] + losses["loss_bbox"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = variables["params"]
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, images, boxes,
+                                       labels, mask)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
