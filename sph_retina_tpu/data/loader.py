@@ -1,0 +1,119 @@
+"""Batching + background prefetch, and a synthetic dataset for tests.
+
+Replaces the reference's torch DataLoader workers
+(mmdet/apis/train.py build_dataloader, workers_per_gpu=2) with a simple
+thread-pool prefetcher: pipeline work is PIL/numpy (GIL-released), batches
+are stacked host-side and handed to JAX; device transfer overlaps with
+compute via a 2-deep prefetch queue.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .pipeline import SphPipeline
+
+
+@dataclass
+class DataLoader:
+    dataset: object
+    pipeline: SphPipeline
+    batch_size: int = 8
+    shuffle: bool = True
+    seed: int = 0
+    num_workers: int = 4
+    drop_last: bool = True
+    prefetch: int = 2
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        if self.drop_last:
+            idx = idx[: len(self) * self.batch_size]
+        return idx
+
+    def epoch(self, epoch: int = 0):
+        """Yield stacked numpy batches with background prefetch."""
+        indices = self._epoch_indices(epoch)
+        batches = indices.reshape(-1, self.batch_size) if self.drop_last else [
+            indices[i:i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for bi, batch_idx in enumerate(batches):
+                    rngs = [
+                        np.random.default_rng(
+                            (self.seed, epoch, bi, int(i))
+                        ) for i in batch_idx
+                    ]
+                    samples = list(pool.map(
+                        lambda a: self.pipeline(self.dataset[int(a[0])], a[1]),
+                        zip(batch_idx, rngs),
+                    ))
+                    out = {
+                        k: np.stack([s[k] for s in samples])
+                        for k in samples[0]
+                    }
+                    q.put(out)
+            q.put(stop)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def make_synthetic_dataset(
+    n_images: int = 8,
+    num_classes: int = 7,
+    img_size=(64, 128),
+    box_version: int = 4,
+    max_boxes: int = 6,
+    seed: int = 0,
+):
+    """In-memory synthetic spherical dataset (test strategy parity with the
+    vendored mmdet suite's tmpdir COCO fixtures, SURVEY.md §4B)."""
+    from ..geometry.boxes import generate_boxes
+
+    rng = np.random.default_rng(seed)
+    h, w = img_size
+
+    class _Synthetic:
+        classes = tuple(f"class_{i}" for i in range(num_classes))
+        num_classes_ = num_classes
+
+        def __len__(self):
+            return n_images
+
+        def __getitem__(self, idx):
+            r = np.random.default_rng((seed, idx))
+            n = int(r.integers(1, max_boxes + 1))
+            boxes = generate_boxes(n, box_version, seed=seed * 1000 + idx,
+                                   fov_range=(10.0, 60.0))
+            return {
+                "img_id": idx,
+                "image": (r.random((h, w, 3)) * 255).astype(np.uint8),
+                "boxes": boxes,
+                "labels": r.integers(0, num_classes, n).astype(np.int32),
+            }
+
+    return _Synthetic()

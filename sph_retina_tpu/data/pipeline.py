@@ -1,0 +1,100 @@
+"""Host-side data pipeline: decode -> SphResize -> SphRandomFlip -> Normalize.
+
+Reproduces the recorded reference pipeline
+(configs/retinanet/sph_retinanet_r50_fpn_120e_pandora_old.py:41-53):
+
+- ``SphResize (1024, 512) keep_ratio``: ERP images are 2:1, so this is a
+  plain resize of the *image only* — spherical degree boxes are
+  resolution-independent (that is the whole point of the Sph* transforms).
+- ``SphRandomFlip 0.5``: horizontal flip of the image plus theta -> 360 -
+  theta on boxes (and gamma -> -gamma for RBFoV).
+- ``Normalize``: ImageNet mean/std, RGB.
+
+Output images are NHWC float32, boxes padded to ``max_gt`` with a mask —
+ready for the jitted train step. numpy + PIL only (no torch data workers;
+batching/prefetch lives in ``loader.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+@dataclass
+class SphPipeline:
+    img_size: tuple = (512, 1024)  # (H, W)
+    flip_ratio: float = 0.5
+    max_gt: int = 64
+    box_version: int = 4
+    training: bool = True
+    mean: np.ndarray = None
+    std: np.ndarray = None
+
+    def __post_init__(self):
+        self.mean = IMAGENET_MEAN if self.mean is None else self.mean
+        self.std = IMAGENET_STD if self.std is None else self.std
+
+    def load_image(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"))
+
+    def resize(self, img: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        h, w = self.img_size
+        if img.shape[:2] == (h, w):
+            return img
+        return np.asarray(
+            Image.fromarray(img).resize((w, h), Image.BILINEAR)
+        )
+
+    def flip(self, img, boxes, rng: np.random.Generator):
+        if self.training and rng.random() < self.flip_ratio:
+            img = img[:, ::-1]
+            boxes = boxes.copy()
+            if boxes.shape[0]:
+                boxes[:, 0] = 360.0 - boxes[:, 0]
+                if boxes.shape[1] == 5:
+                    boxes[:, 4] = -boxes[:, 4]
+        return img, boxes
+
+    def normalize(self, img: np.ndarray) -> np.ndarray:
+        return (img.astype(np.float32) - self.mean) / self.std
+
+    def pad_gt(self, boxes, labels):
+        g = self.max_gt
+        out_boxes = np.zeros((g, self.box_version), np.float32)
+        out_boxes[:, :] = 1.0  # harmless non-degenerate padding
+        out_labels = np.zeros((g,), np.int32)
+        mask = np.zeros((g,), bool)
+        n = min(len(boxes), g)
+        if n:
+            out_boxes[:n] = boxes[:n]
+            out_labels[:n] = labels[:n]
+            mask[:n] = True
+        return out_boxes, out_labels, mask
+
+    def __call__(self, item: dict, rng: np.random.Generator) -> dict:
+        if "image" in item:
+            img = item["image"]
+        else:
+            img = self.load_image(item["img_path"])
+        img = self.resize(img)
+        boxes = np.asarray(item["boxes"], np.float32).reshape(-1, self.box_version)
+        img, boxes = self.flip(img, boxes, rng)
+        img = self.normalize(img)
+        gt_boxes, gt_labels, gt_mask = self.pad_gt(boxes, item["labels"])
+        return {
+            "images": img,
+            "gt_boxes": gt_boxes,
+            "gt_labels": gt_labels,
+            "gt_mask": gt_mask,
+            "img_id": np.int32(item.get("img_id", 0)),
+        }

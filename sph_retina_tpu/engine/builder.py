@@ -1,0 +1,122 @@
+"""Build runtime objects from declarative config dicts.
+
+The glue the reference gets from mmcv registries (build_detector /
+build_dataset / build_optimizer), as one explicit module: config dicts in
+``configs/`` -> model, detector config, datasets, optimizer.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..boxes.anchors import SphAnchorGenerator
+from ..boxes.assigner import MaxIoUAssigner
+from ..boxes.coders import SphBBoxCoder
+from ..data import DataLoader, SphCocoDataset, SphPipeline
+from ..losses import build_loss
+from ..models import SphRetinaNet
+from ..models.single_stage import DetectorConfig
+from .train import build_optimizer, step_lr_schedule
+
+
+def build_detector_config(cfg: dict) -> DetectorConfig:
+    m = cfg["model"]
+    train_cfg = cfg.get("train_cfg", {})
+    test_cfg = cfg.get("test_cfg", {})
+    box_version = m.get("box_version", 4)
+    anchor_cfg = dict(m.get("anchor_generator", {}))
+    anchor_cfg.setdefault("strides", [8, 16, 32, 64, 128])
+    anchor_cfg.setdefault("ratios", [0.5, 1.0, 2.0])
+    anchor_cfg.setdefault("octave_base_scale", 4)
+    anchor_cfg.setdefault("scales_per_octave", 3)
+    anchor_cfg["box_version"] = box_version
+
+    coder_cfg = m.get("bbox_coder", {})
+    loss_bbox_cfg = m.get("loss_bbox", {"type": "SphL1Loss"})
+    assigner_cfg = dict(train_cfg.get("assigner", {}))
+    assign_backend = assigner_cfg.pop("backend", "sph2pob_efficient")
+    for k in ("type", "ignore_iof_thr", "iou_calculator"):
+        assigner_cfg.pop(k, None)
+
+    return DetectorConfig(
+        num_classes=m["num_classes"],
+        box_version=box_version,
+        img_size=tuple(cfg.get("img_size", (512, 1024))),
+        anchor_generator=SphAnchorGenerator(**anchor_cfg),
+        bbox_coder=SphBBoxCoder(
+            box_version=box_version,
+            target_means=coder_cfg.get("target_means"),
+            target_stds=coder_cfg.get("target_stds"),
+        ),
+        assigner=MaxIoUAssigner(
+            pos_iou_thr=assigner_cfg.get("pos_iou_thr", 0.5),
+            neg_iou_thr=assigner_cfg.get("neg_iou_thr", 0.4),
+            min_pos_iou=assigner_cfg.get("min_pos_iou", 0.0),
+        ),
+        loss_bbox=build_loss(loss_bbox_cfg),
+        reg_decoded_bbox=m.get("reg_decoded_bbox", False),
+        assign_backend=assign_backend,
+        nms_pre=test_cfg.get("nms_pre", 1000),
+        score_thr=test_cfg.get("score_thr", 0.05),
+        nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
+        max_per_img=test_cfg.get("max_per_img", 100),
+        nms_backend=test_cfg.get("iou_calculator", "planar"),
+    )
+
+
+def build_model(cfg: dict):
+    m = cfg["model"]
+    dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
+    return SphRetinaNet(
+        num_classes=m["num_classes"],
+        box_version=m.get("box_version", 4),
+        depth=m.get("backbone", {}).get("depth", 50),
+        dtype=dtype,
+    )
+
+
+def build_datasets(cfg: dict, split: str = "train"):
+    d = cfg["data"][split]
+    ds = SphCocoDataset(
+        ann_file=d["ann_file"],
+        img_prefix=d.get("img_prefix", ""),
+        box_version=cfg["model"].get("box_version", 4),
+    )
+    pipe = SphPipeline(
+        img_size=tuple(cfg.get("img_size", (512, 1024))),
+        flip_ratio=cfg["data"].get("flip_ratio", 0.5) if split == "train" else 0.0,
+        max_gt=cfg["data"].get("max_gt", 64),
+        box_version=cfg["model"].get("box_version", 4),
+        training=split == "train",
+    )
+    loader = DataLoader(
+        ds, pipe,
+        batch_size=cfg["data"].get("samples_per_gpu", 4),
+        shuffle=split == "train",
+        num_workers=cfg["data"].get("workers_per_gpu", 4),
+        seed=cfg.get("seed", 0),
+        drop_last=split == "train",
+    )
+    return ds, loader
+
+
+def build_tx(cfg: dict, steps_per_epoch: int):
+    opt = cfg.get("optimizer", {})
+    lr_cfg = cfg.get("lr_config", {})
+    schedule = step_lr_schedule(
+        opt.get("lr", 0.005),
+        steps_per_epoch,
+        milestones=tuple(lr_cfg.get("step", (80, 110))),
+        warmup_iters=lr_cfg.get("warmup_iters", 500),
+        warmup_ratio=lr_cfg.get("warmup_ratio", 0.001),
+    )
+    clip = cfg.get("optimizer_config", {}).get("grad_clip")
+    frozen = tuple(cfg.get("frozen_prefixes",
+                           ("backbone/conv1", "backbone/bn1", "backbone/layer1")))
+    return build_optimizer(
+        schedule,
+        momentum=opt.get("momentum", 0.9),
+        weight_decay=opt.get("weight_decay", 5e-4),
+        grad_clip=clip.get("max_norm") if isinstance(clip, dict) else clip,
+        frozen_prefixes=frozen,
+    )

@@ -1,0 +1,133 @@
+"""Epoch-based training runner: loop, checkpoints, periodic eval, logging.
+
+Reference semantics (mmcv EpochBasedRunner as driven by
+mmdet/apis/train.py:117-246): per-epoch iteration, CheckpointHook interval,
+periodic eval with best-metric tracking (save_best='bbox_mAP_50'),
+TextLogger-style metric lines. TPU-native pieces: orbax checkpoints
+(params/opt_state/step as one pytree), JSONL metric log (+ TensorBoard
+events when the package is importable), one jitted step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .train import TrainState
+
+
+@dataclass
+class MetricLogger:
+    log_dir: str
+    interval: int = 10
+    _file: object = field(default=None, repr=False)
+    _tb: object = field(default=None, repr=False)
+
+    def __post_init__(self):
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._file = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # torch is baked in
+
+            self._tb = SummaryWriter(os.path.join(self.log_dir, "tb"))
+        except Exception:
+            self._tb = None
+
+    def log(self, step: int, metrics: dict, prefix: str = "train"):
+        record = {"step": step, "prefix": prefix,
+                  **{k: float(v) for k, v in metrics.items()},
+                  "time": time.time()}
+        self._file.write(json.dumps(record) + "\n")
+        self._file.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
+
+    def close(self):
+        self._file.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class Checkpointer:
+    """Orbax wrapper: interval saves, best-metric tracking, resume."""
+
+    def __init__(self, ckpt_dir: str, save_best: str | None = "AP50"):
+        self.dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.save_best = save_best
+        self.best = -np.inf
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def save(self, state: TrainState, epoch: int, metric: float | None = None):
+        path = os.path.join(self.dir, f"epoch_{epoch}")
+        self._ckpt.save(path, state, force=True)
+        latest = os.path.join(self.dir, "latest.txt")
+        with open(latest, "w") as f:
+            f.write(f"epoch_{epoch}")
+        if metric is not None and self.save_best and metric > self.best:
+            self.best = metric
+            self._ckpt.save(os.path.join(self.dir, "best"), state, force=True)
+
+    def latest_path(self):
+        latest = os.path.join(self.dir, "latest.txt")
+        if not os.path.exists(latest):
+            return None
+        with open(latest) as f:
+            return os.path.join(self.dir, f.read().strip())
+
+    def restore(self, state: TrainState, path: str | None = None) -> TrainState:
+        path = path or self.latest_path()
+        if path is None:
+            return state
+        return self._ckpt.restore(path, state)
+
+    def wait(self):
+        self._ckpt.wait_until_finished()
+
+
+def run_training(
+    *,
+    train_step,
+    state: TrainState,
+    loader,
+    max_epochs: int,
+    logger: MetricLogger,
+    checkpointer: Checkpointer | None = None,
+    ckpt_interval: int = 25,
+    eval_fn=None,
+    eval_interval: int = 5,
+    shard=lambda b: b,
+):
+    """The main loop. ``eval_fn(state) -> dict`` runs on eval epochs."""
+    step_count = int(state.step)
+    for epoch in range(max_epochs):
+        t_epoch = time.time()
+        for batch in loader.epoch(epoch):
+            state, metrics = train_step(state, shard(batch))
+            step_count += 1
+            if step_count % logger.interval == 0:
+                jax.block_until_ready(metrics)
+                logger.log(step_count, metrics)
+        epoch_time = time.time() - t_epoch
+        logger.log(step_count, {"epoch": epoch, "epoch_time": epoch_time},
+                   prefix="epoch")
+
+        metric = None
+        if eval_fn is not None and (epoch + 1) % eval_interval == 0:
+            results = eval_fn(state)
+            logger.log(step_count, results, prefix="val")
+            metric = results.get("AP50")
+        if checkpointer is not None and (
+            (epoch + 1) % ckpt_interval == 0 or epoch + 1 == max_epochs
+        ):
+            checkpointer.save(state, epoch + 1, metric)
+    if checkpointer is not None:
+        checkpointer.wait()
+    return state

@@ -1,0 +1,59 @@
+"""Minimal python-file config system with _base_ composition + CLI overrides.
+
+Capability parity with the mmcv Config usage in the reference
+(configs/retinanet/sph_retinanet_r50_fpn_120e_indoor360.py:1-7 `_base_`
+inheritance; tools/train.py:76-88 `--cfg-options` dotted overrides) without
+the registry side-effect machinery: a config file is a python module whose
+module-level variables form a dict; `_base_` lists parent files merged
+depth-first (child wins, dicts merge recursively).
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import os
+import runpy
+from typing import Any
+
+
+def _deep_merge(base: dict, override: dict) -> dict:
+    out = copy.deepcopy(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def load_config(path: str) -> dict:
+    """Load a python config file, resolving `_base_` recursively."""
+    ns = runpy.run_path(path)
+    cfg = {k: v for k, v in ns.items()
+           if not k.startswith("_") and not callable(v)
+           and not isinstance(v, type(os))}
+    bases = ns.get("_base_", [])
+    if isinstance(bases, str):
+        bases = [bases]
+    merged: dict = {}
+    for b in bases:
+        merged = _deep_merge(merged, load_config(os.path.join(os.path.dirname(path), b)))
+    return _deep_merge(merged, cfg)
+
+
+def apply_overrides(cfg: dict, options: list[str]) -> dict:
+    """Apply 'a.b.c=value' overrides (values parsed as python literals)."""
+    cfg = copy.deepcopy(cfg)
+    for opt in options or []:
+        key, _, raw = opt.partition("=")
+        try:
+            value: Any = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return cfg
