@@ -39,8 +39,18 @@ LOSSES = {
     "Sph2PobKLDLoss": sph2pob_kld_loss,
     "Sph2PobKFLoss": sph2pob_kf_loss,
     "FocalLoss": sigmoid_focal_loss,
+    "KentLoss": None,  # resolved lazily (kent subsystem import)
     "CrossEntropyLoss": cross_entropy_loss,
 }
+
+
+def _kent_loss(*args, **kwargs):
+    from ..iou.kent import sph_kent_loss
+
+    return sph_kent_loss(*args, **kwargs)
+
+
+LOSSES["KentLoss"] = _kent_loss
 
 
 def build_loss(cfg: dict):

