@@ -1,0 +1,101 @@
+"""ctypes bindings for the native C++ image loader (native/sphloader.cpp).
+
+Decode (libjpeg/libpng) + bilinear resize + normalize + flip fused in C++,
+batched over a std::thread pool — the GIL-free replacement for the
+reference's torch DataLoader workers. Builds on demand with `make`; callers
+fall back to the PIL pipeline when the toolchain or shared object is
+unavailable (``available()``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO = os.path.join(_NATIVE_DIR, "libsphloader.so")
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.sph_load_image.restype = ctypes.c_int
+    lib.sph_load_image.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.sph_load_batch.restype = ctypes.c_int
+    lib.sph_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def load_image(path: str, img_size, mean, std, flip: bool = False):
+    """Decode+resize+normalize one image -> (H, W, 3) float32, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = img_size
+    out = np.empty((h, w, 3), np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    rc = lib.sph_load_image(path.encode(), _fptr(out), h, w, _fptr(mean),
+                            _fptr(std), int(flip))
+    return out if rc == 0 else None
+
+
+def load_batch(paths, img_size, mean, std, flips=None, n_threads: int = 0):
+    """Decode a batch in parallel -> (N, H, W, 3) float32.
+
+    Returns (array, n_failed); failed slots are zeroed.
+    """
+    lib = _load()
+    if lib is None:
+        return None, len(paths)
+    h, w = img_size
+    n = len(paths)
+    out = np.empty((n, h, w, 3), np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if flips is None:
+        c_flips = None
+    else:
+        c_flips = (ctypes.c_int * n)(*[int(f) for f in flips])
+    failed = lib.sph_load_batch(c_paths, n, _fptr(out), h, w, _fptr(mean),
+                                _fptr(std), c_flips, n_threads)
+    return out, int(failed)

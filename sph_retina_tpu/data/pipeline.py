@@ -82,14 +82,30 @@ class SphPipeline:
         return out_boxes, out_labels, mask
 
     def __call__(self, item: dict, rng: np.random.Generator) -> dict:
-        if "image" in item:
-            img = item["image"]
-        else:
-            img = self.load_image(item["img_path"])
-        img = self.resize(img)
+        do_flip = self.training and rng.random() < self.flip_ratio
         boxes = np.asarray(item["boxes"], np.float32).reshape(-1, self.box_version)
-        img, boxes = self.flip(img, boxes, rng)
-        img = self.normalize(img)
+        img = None
+        if "image" not in item:
+            # native C++ fast path: decode+resize+normalize+flip in one pass
+            from . import native_loader
+
+            if native_loader.available():
+                img = native_loader.load_image(
+                    item["img_path"], self.img_size, self.mean, self.std,
+                    flip=do_flip)
+        if img is None:
+            raw = item.get("image")
+            if raw is None:
+                raw = self.load_image(item["img_path"])
+            raw = self.resize(raw)
+            if do_flip:
+                raw = raw[:, ::-1]
+            img = self.normalize(raw)
+        if do_flip and boxes.shape[0]:
+            boxes = boxes.copy()
+            boxes[:, 0] = 360.0 - boxes[:, 0]
+            if boxes.shape[1] == 5:
+                boxes[:, 4] = -boxes[:, 4]
         gt_boxes, gt_labels, gt_mask = self.pad_gt(boxes, item["labels"])
         return {
             "images": img,

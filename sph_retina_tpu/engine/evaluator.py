@@ -29,9 +29,14 @@ def evaluate_dataset(
     *,
     backend: str = "sph2pob_efficient",
     iou_thrs=None,
+    predict=None,
 ) -> dict:
-    """Run inference over a (non-shuffled) loader and compute COCO-style AP."""
-    predict = make_predict_step(model, cfg)
+    """Run inference over a (non-shuffled) loader and compute COCO-style AP.
+
+    ``predict(variables, images) -> NMSResult`` defaults to the RetinaNet
+    path; pass a zoo family's jitted predict for other detectors."""
+    if predict is None:
+        predict = make_predict_step(model, cfg)
     det_results, annotations = [], []
     for batch in loader.epoch(0):
         res = predict(variables, jnp.asarray(batch["images"]))

@@ -114,6 +114,13 @@ def run_training(
             step_count += 1
             if step_count % logger.interval == 0:
                 jax.block_until_ready(metrics)
+                # NaN-loss detection (CheckLossHook parity,
+                # mmdet/core/hook/checkloss_hook.py)
+                loss_val = float(metrics.get("loss", 0.0))
+                if loss_val != loss_val:
+                    logger.log(step_count, {"nan_loss": 1.0}, prefix="error")
+                    raise FloatingPointError(
+                        f"loss is NaN at step {step_count}")
                 logger.log(step_count, metrics)
         epoch_time = time.time() - t_epoch
         logger.log(step_count, {"epoch": epoch, "epoch_time": epoch_time},

@@ -1,0 +1,236 @@
+"""Detector zoo: one uniform interface over all model families.
+
+Each family adapter exposes:
+- ``build(cfg_dict)``      -> (flax module, detector config)
+- ``init(model, rng, x)``  -> variables
+- ``loss_fn(model, cfg)``  -> f(variables, batch, rng) -> (total, dict)
+- ``predict_fn(model, cfg)``-> f(variables, images) -> NMSResult
+
+This replaces the reference's registry-driven ``build_detector``
+(mmdet/models/builder.py) with explicit adapters; the generic train step in
+``make_generic_train_step`` serves every family (including the two-stage
+Faster R-CNN whose loss needs an rng for RoI sampling).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import SphFCOS, SphFasterRCNN, SphRetinaNet, SphSSD
+from ..models import faster_rcnn as frcnn
+from ..models.fcos import fcos_config, fcos_loss, fcos_predict
+from ..models.single_stage import retina_loss, retina_predict
+from ..models.ssd import ssd_config, ssd_loss, ssd_predict
+from .train import TrainState
+
+
+def _common(cfg_dict):
+    m = cfg_dict["model"]
+    return dict(
+        num_classes=m["num_classes"],
+        box_version=m.get("box_version", 4),
+        img_size=tuple(cfg_dict.get("img_size", (512, 1024))),
+    )
+
+
+class RetinaNetFamily:
+    name = "SphRetinaNet"
+
+    @staticmethod
+    def build(cfg_dict):
+        from .builder import build_detector_config, build_model
+
+        return build_model(cfg_dict), build_detector_config(cfg_dict)
+
+    @staticmethod
+    def init(model, rng, x):
+        return model.init(rng, x)
+
+    @staticmethod
+    def loss_fn(model, cfg):
+        anchors = cfg.flat_anchors()
+
+        def f(variables, batch, rng):
+            del rng
+            cls, reg = model.apply(variables, batch["images"])
+            losses = retina_loss(cfg, cls, reg, anchors, batch["gt_boxes"],
+                                 batch["gt_labels"], batch["gt_mask"])
+            return sum(losses.values()), losses
+
+        return f
+
+    @staticmethod
+    def predict_fn(model, cfg):
+        level_anchors = cfg.anchor_generator.grid_anchors(cfg.featmap_sizes())
+
+        def f(variables, images):
+            cls, reg = model.apply(variables, images)
+            return retina_predict(cfg, cls, reg, level_anchors)
+
+        return f
+
+
+class FCOSFamily:
+    name = "SphFCOS"
+
+    @staticmethod
+    def build(cfg_dict):
+        c = _common(cfg_dict)
+        dtype = jnp.bfloat16 if cfg_dict.get("bf16", True) else jnp.float32
+        model = SphFCOS(num_classes=c["num_classes"],
+                        box_version=c["box_version"], dtype=dtype)
+        return model, fcos_config(c["num_classes"], img_size=c["img_size"],
+                                  box_version=c["box_version"])
+
+    init = RetinaNetFamily.init
+
+    @staticmethod
+    def loss_fn(model, cfg):
+        def f(variables, batch, rng):
+            del rng
+            cls, reg, ctr = model.apply(variables, batch["images"])
+            losses = fcos_loss(cfg, cls, reg, ctr, batch["gt_boxes"],
+                               batch["gt_labels"], batch["gt_mask"])
+            return sum(losses.values()), losses
+
+        return f
+
+    @staticmethod
+    def predict_fn(model, cfg):
+        def f(variables, images):
+            cls, reg, ctr = model.apply(variables, images)
+            return fcos_predict(cfg, cls, reg, ctr)
+
+        return f
+
+
+class SSDFamily:
+    name = "SphSSD"
+
+    @staticmethod
+    def build(cfg_dict):
+        c = _common(cfg_dict)
+        dtype = jnp.bfloat16 if cfg_dict.get("bf16", True) else jnp.float32
+        model = SphSSD(num_classes=c["num_classes"],
+                       box_version=c["box_version"], dtype=dtype)
+        return model, ssd_config(c["num_classes"], img_size=c["img_size"],
+                                 box_version=c["box_version"])
+
+    init = RetinaNetFamily.init
+
+    @staticmethod
+    def loss_fn(model, cfg):
+        anchors = cfg.flat_anchors()
+
+        def f(variables, batch, rng):
+            del rng
+            cls, reg = model.apply(variables, batch["images"])
+            losses = ssd_loss(cfg, cls, reg, anchors, batch["gt_boxes"],
+                              batch["gt_labels"], batch["gt_mask"])
+            return sum(losses.values()), losses
+
+        return f
+
+    @staticmethod
+    def predict_fn(model, cfg):
+        def f(variables, images):
+            cls, reg = model.apply(variables, images)
+            return ssd_predict(cfg, cls, reg)
+
+        return f
+
+
+class FasterRCNNFamily:
+    name = "SphFasterRCNN"
+
+    @staticmethod
+    def build(cfg_dict):
+        c = _common(cfg_dict)
+        dtype = jnp.bfloat16 if cfg_dict.get("bf16", True) else jnp.float32
+        model = SphFasterRCNN(num_classes=c["num_classes"],
+                              box_version=c["box_version"], dtype=dtype)
+        return model, frcnn.faster_rcnn_config(
+            c["num_classes"], img_size=c["img_size"],
+            box_version=c["box_version"])
+
+    @staticmethod
+    def init(model, rng, x):
+        return model.init(rng, x, method=SphFasterRCNN.init_all)
+
+    @staticmethod
+    def loss_fn(model, cfg):
+        def f(variables, batch, rng):
+            (rpn_cls, rpn_reg), feats = model.apply(variables, batch["images"])
+            losses = frcnn.rpn_loss(cfg, rpn_cls, rpn_reg, batch["gt_boxes"],
+                                    batch["gt_mask"])
+            props, _, pvalid = frcnn.rpn_proposals(cfg, rpn_cls, rpn_reg)
+            t = frcnn.sample_rois(
+                cfg, rng, jax.lax.stop_gradient(props), pvalid,
+                batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+            rf = frcnn.roi_features(cfg, feats, t.rois)
+            cls, reg = model.apply(
+                variables, rf.reshape(-1, 7, 7, rf.shape[-1]),
+                method=SphFasterRCNN.roi)
+            losses.update(frcnn.rcnn_loss(cfg, cls, reg, t))
+            return sum(losses.values()), losses
+
+        return f
+
+    @staticmethod
+    def predict_fn(model, cfg):
+        def f(variables, images):
+            (rpn_cls, rpn_reg), feats = model.apply(variables, images)
+            props, _, pvalid = frcnn.rpn_proposals(cfg, rpn_cls, rpn_reg)
+            rf = frcnn.roi_features(cfg, feats, props)
+            cls, reg = model.apply(
+                variables, rf.reshape(-1, 7, 7, rf.shape[-1]),
+                method=SphFasterRCNN.roi)
+            b, p = props.shape[:2]
+            return frcnn.rcnn_predict(cfg, cls.reshape(b, p, -1),
+                                      reg.reshape(b, p, -1), props, pvalid)
+
+        return f
+
+
+FAMILIES = {
+    "SphRetinaNet": RetinaNetFamily,
+    "RetinaNet": RetinaNetFamily,
+    "SphFCOS": FCOSFamily,
+    "FCOS": FCOSFamily,
+    "SphSSD": SSDFamily,
+    "SSD": SSDFamily,
+    "SphFasterRCNN": FasterRCNNFamily,
+    "FasterRCNN": FasterRCNNFamily,
+}
+
+
+def get_family(cfg_dict):
+    kind = cfg_dict["model"].get("type", "SphRetinaNet")
+    if kind not in FAMILIES:
+        raise ValueError(f"unknown detector type {kind!r}; "
+                         f"choose from {sorted(set(FAMILIES))}")
+    return FAMILIES[kind]
+
+
+def make_generic_train_step(family, model, cfg, tx):
+    """Train step serving every family; rng folds in the step counter."""
+    loss = family.loss_fn(model, cfg)
+
+    def train_step(state: TrainState, batch: dict):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        variables = {"params": None, "batch_stats": state.batch_stats}
+
+        def compute(params):
+            v = dict(variables, params=params)
+            return loss(v, batch, rng)
+
+        (total, losses), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, state.batch_stats,
+                          opt_state), {"loss": total, **losses}
+
+    return train_step

@@ -1,6 +1,13 @@
 from .rotated import box_corners, rotated_box_intersection, rotated_box_iou
 from .unbiased import unbiased_iou as unbiased_iou_elementwise
 from .approx import fov_iou_aligned, sph_iou_aligned
+from .kent import (
+    deg2kent,
+    kent_iou_elementwise,
+    kent_iou_from_params,
+    kent_kld,
+    sph_kent_loss,
+)
 from .api import (
     BACKENDS,
     sph_overlaps,
@@ -15,6 +22,11 @@ from .api import (
 )
 
 __all__ = [
+    "deg2kent",
+    "kent_iou_elementwise",
+    "kent_iou_from_params",
+    "kent_kld",
+    "sph_kent_loss",
     "BACKENDS",
     "box_corners",
     "rotated_box_intersection",

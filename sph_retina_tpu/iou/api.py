@@ -146,7 +146,16 @@ def sph_overlaps(
     fn = _BACKENDS[backend]
     boxes1 = jnp.asarray(boxes1, jnp.float32)
     boxes2 = jnp.asarray(boxes2, jnp.float32)
-    if is_aligned:
+    if not is_aligned and backend.startswith("kent"):
+        # Kent is a per-box parameterization: convert each side once and
+        # broadcast the 5 parameters, instead of re-running the 121-point
+        # moment estimation per pair.
+        from .kent import deg2kent, kent_iou_from_params
+
+        ka = deg2kent(boxes1)
+        kb = deg2kent(boxes2)
+        out = kent_iou_from_params(ka[:, None, :], kb[None, :, :])
+    elif is_aligned:
         out = fn(boxes1, boxes2, **kwargs)
     else:
         n, m = boxes1.shape[0], boxes2.shape[0]

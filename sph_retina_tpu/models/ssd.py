@@ -1,0 +1,195 @@
+"""SSD spherical detector: VGG16 + extras + per-level heads.
+
+Reference: sphdet/models/heads/sph_ssd_head.py (SSDHead with
+box_version-wide reg convs:25-95; cross-entropy classification with hard
+negative mining at neg_pos_ratio — note the reference *intentionally*
+hard-codes CE even when a loss_cls is configured, sph_ssd_head.py:123-126 —
+and configurable reg loss:160-167). Anchors use the SSD min/max-size scheme.
+
+Hard negative mining on TPU: instead of gathering a dynamic top-k of
+negative losses, rank all negative losses descending and mask ranks below
+3x the (traced) positive count — identical selection, static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..boxes.anchors import SphSSDAnchorGenerator
+from ..boxes.coders import SphBBoxCoder
+from ..boxes.assigner import MaxIoUAssigner
+from ..boxes.nms import NMSResult, sph_batched_nms
+from .single_stage import _batch_pairwise_iou, _select_level
+from .vgg import SSDNeck, SSDVGG
+
+
+class SphSSDHead(nn.Module):
+    num_classes: int
+    box_version: int = 4
+    num_base_priors: Sequence[int] = (4, 6, 6, 6, 4, 4)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]):
+        cls_scores, bbox_preds = [], []
+        c_out = self.num_classes + 1  # softmax over classes + background
+        for i, (x, a) in enumerate(zip(feats, self.num_base_priors)):
+            b, h, w, _ = x.shape
+            cls = nn.Conv(a * c_out, (3, 3), padding=1, dtype=self.dtype,
+                          name=f"cls_conv_{i}")(x).astype(jnp.float32)
+            reg = nn.Conv(a * self.box_version, (3, 3), padding=1,
+                          dtype=self.dtype,
+                          name=f"reg_conv_{i}")(x).astype(jnp.float32)
+            cls_scores.append(cls.reshape(b, h * w * a, c_out))
+            bbox_preds.append(reg.reshape(b, h * w * a, self.box_version))
+        return cls_scores, bbox_preds
+
+
+class SphSSD(nn.Module):
+    num_classes: int
+    box_version: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images):
+        feats = SSDVGG(dtype=self.dtype, name="backbone")(images)
+        feats = SSDNeck(dtype=self.dtype, name="neck")(feats)
+        return SphSSDHead(num_classes=self.num_classes,
+                          box_version=self.box_version, dtype=self.dtype,
+                          name="bbox_head")(feats)
+
+
+@dataclasses.dataclass(frozen=True)
+class SSDConfig:
+    num_classes: int
+    box_version: int = 4
+    img_size: tuple = (512, 1024)
+    strides: tuple = (8, 16, 32, 64, 128, 256)
+    neg_pos_ratio: float = 3.0
+    smoothl1_beta: float = 1.0
+    loss_bbox: Callable = None
+    assign_backend: str = "sph2pob_efficient"
+    nms_pre: int = 1000
+    score_thr: float = 0.02
+    nms_iou_thr: float = 0.45
+    max_per_img: int = 200
+    nms_backend: str = "planar"
+
+    def anchor_generator(self):
+        # min/max sizes follow the SSD300 basesize ratio scheme scaled to
+        # the chart height (ssd300.py:29-31: ratio range 0.15-0.9)
+        h = self.img_size[0]
+        ratios = [0.07, 0.15, 0.3, 0.45, 0.6, 0.75, 0.9]
+        min_sizes = [h * r for r in ratios[:-1]]
+        max_sizes = [h * r for r in ratios[1:]]
+        level_ratios = ([2.0], [2.0, 3.0], [2.0, 3.0], [2.0, 3.0], [2.0],
+                        [2.0])
+        return SphSSDAnchorGenerator(
+            strides=list(self.strides), min_sizes=min_sizes,
+            max_sizes=max_sizes, level_ratios=level_ratios,
+            center_offset=0.5, box_version=self.box_version)
+
+    def coder(self):
+        means = (0.0,) * self.box_version
+        stds = (0.1, 0.1, 0.2, 0.2) + ((0.1,) if self.box_version == 5 else ())
+        return SphBBoxCoder(box_version=self.box_version, target_means=means,
+                            target_stds=stds)
+
+    def assigner(self):
+        return MaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.5,
+                              min_pos_iou=0.0, gt_max_assign_all=False)
+
+    def featmap_sizes(self):
+        h, w = self.img_size
+        return [(-(-h // s), -(-w // s)) for s in self.strides]
+
+    def flat_anchors(self):
+        gen = self.anchor_generator()
+        return jnp.concatenate([
+            jnp.asarray(gen.single_level_grid_anchors(fs, i))
+            for i, fs in enumerate(self.featmap_sizes())
+        ])
+
+
+def ssd_config(num_classes, img_size=(512, 1024), loss_bbox=None, **kw):
+    from ..losses import smooth_l1_loss
+
+    return SSDConfig(num_classes=num_classes, img_size=img_size,
+                     loss_bbox=loss_bbox or smooth_l1_loss, **kw)
+
+
+def ssd_loss(cfg: SSDConfig, cls_scores, bbox_preds, anchors,
+             gt_boxes, gt_labels, gt_mask) -> dict:
+    cls = jnp.concatenate(cls_scores, axis=1)   # (B, N, C+1)
+    reg = jnp.concatenate(bbox_preds, axis=1)   # (B, N, D)
+    coder = cfg.coder()
+    assigner = cfg.assigner()
+
+    overlaps = jax.lax.stop_gradient(
+        _batch_pairwise_iou(gt_boxes, anchors, cfg.assign_backend))
+
+    def single(ov, boxes, labels, mask, cls_i, reg_i):
+        res = assigner(ov, mask, labels)
+        pos = res.gt_inds > 0
+        safe = jnp.clip(res.gt_inds - 1, 0, boxes.shape[0] - 1)
+        targets = coder.encode(anchors, boxes[safe])
+        labels_out = jnp.where(pos, res.labels, cfg.num_classes)
+
+        # CE over classes+bg; per-anchor loss for mining
+        logp = jax.nn.log_softmax(cls_i, axis=-1)
+        ce = -jnp.take_along_axis(logp, labels_out[:, None], axis=-1)[:, 0]
+
+        num_pos = jnp.sum(pos)
+        neg = res.gt_inds == 0
+        neg_losses = jnp.where(neg, ce, -1.0)
+        order = jnp.argsort(-neg_losses)
+        rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+        num_neg = jnp.minimum(
+            (cfg.neg_pos_ratio * num_pos).astype(jnp.int32), jnp.sum(neg))
+        neg_sel = neg & (rank < num_neg)
+
+        loss_cls = jnp.sum(jnp.where(pos | neg_sel, ce, 0.0))
+        diff = jnp.abs(reg_i - targets)
+        sl1 = jnp.where(diff < cfg.smoothl1_beta,
+                        0.5 * diff * diff / cfg.smoothl1_beta,
+                        diff - 0.5 * cfg.smoothl1_beta)
+        loss_bbox = jnp.sum(jnp.where(pos[:, None], sl1, 0.0))
+        return loss_cls, loss_bbox, num_pos
+
+    lc, lb, np_ = jax.vmap(single)(overlaps, gt_boxes, gt_labels, gt_mask,
+                                   cls, reg)
+    denom = jnp.maximum(jnp.sum(np_), 1.0)
+    return {"loss_cls": jnp.sum(lc) / denom, "loss_bbox": jnp.sum(lb) / denom}
+
+
+def ssd_predict(cfg: SSDConfig, cls_scores, bbox_preds) -> NMSResult:
+    gen = cfg.anchor_generator()
+    level_anchors = [
+        jnp.asarray(gen.single_level_grid_anchors(fs, i))
+        for i, fs in enumerate(cfg.featmap_sizes())
+    ]
+    coder = cfg.coder()
+
+    def single(per_img):
+        scores_lv, reg_lv = per_img
+        parts = []
+        for scores, deltas, priors in zip(scores_lv, reg_lv, level_anchors):
+            s = jax.nn.softmax(scores, axis=-1)[:, :-1]  # drop background
+            parts.append(_select_level(cfg, s, deltas, priors, cfg.nms_pre))
+        top = jnp.concatenate([p[0] for p in parts])
+        labels = jnp.concatenate([p[1] for p in parts])
+        deltas = jnp.concatenate([p[2] for p in parts])
+        priors = jnp.concatenate([p[3] for p in parts])
+        valid = jnp.concatenate([p[4] for p in parts])
+        boxes = coder.decode(priors, deltas)
+        return sph_batched_nms(
+            boxes, top, labels, iou_threshold=cfg.nms_iou_thr,
+            max_num=cfg.max_per_img, nms_pre=cfg.nms_pre,
+            backend=cfg.nms_backend, valid_mask=valid)
+
+    return jax.vmap(single)((cls_scores, bbox_preds))

@@ -1,0 +1,5 @@
+from .sph_draw import draw_boxes, erp_box_polyline, imshow_det_bboxes
+from .plots import plot_curve, plot_iou_scatter
+
+__all__ = ["draw_boxes", "erp_box_polyline", "imshow_det_bboxes",
+           "plot_curve", "plot_iou_scatter"]

@@ -122,3 +122,36 @@ def test_eval_duplicate_detection_penalized():
                              backend="sph2pob_efficient")
     # one TP + one FP at lower score: precision dips after recall=1
     assert 0.9 < res["mAP"] <= 1.0
+
+
+def test_native_loader_matches_pil(tmp_path):
+    from sph_retina_tpu.data import native_loader as nl
+    from sph_retina_tpu.data.pipeline import (
+        IMAGENET_MEAN, IMAGENET_STD, SphPipeline,
+    )
+    if not nl.available():
+        import pytest
+
+        pytest.skip("native loader not built")
+    from PIL import Image
+
+    # smooth gradient: PIL's downscale uses area averaging while the
+    # native path point-samples bilinearly — identical on smooth content
+    yy, xx = np.mgrid[0:64, 0:128]
+    img = np.stack([xx * 2, yy * 4, (xx + yy)], -1).astype(np.uint8)
+    p = str(tmp_path / "img.jpg")
+    Image.fromarray(img).save(p, quality=95)
+    out = nl.load_image(p, (32, 64), IMAGENET_MEAN, IMAGENET_STD)
+    assert out.shape == (32, 64, 3)
+    pipe = SphPipeline(img_size=(32, 64), training=False)
+    ref = pipe.normalize(pipe.resize(pipe.load_image(p)))
+    assert np.abs(out - ref).mean() < 0.05
+    batch, failed = nl.load_batch([p, p], (32, 64), IMAGENET_MEAN,
+                                  IMAGENET_STD, flips=[0, 1])
+    assert failed == 0
+    np.testing.assert_allclose(batch[1], batch[0][:, ::-1], atol=1e-6)
+    # missing file -> failure count, zeroed slot
+    batch, failed = nl.load_batch([p, "/nonexistent.jpg"], (32, 64),
+                                  IMAGENET_MEAN, IMAGENET_STD)
+    assert failed == 1
+    assert np.all(batch[1] == 0)

@@ -1,0 +1,143 @@
+"""Faster R-CNN: RPN, RoIAlign, sampling, two-stage loss and predict."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sph_retina_tpu.geometry import generate_boxes
+from sph_retina_tpu.models.faster_rcnn import (
+    SphFasterRCNN,
+    faster_rcnn_config,
+    multilevel_roi_align,
+    rcnn_loss,
+    rcnn_predict,
+    roi_align,
+    roi_features,
+    rpn_loss,
+    rpn_proposals,
+    sample_rois,
+)
+
+B, H, W = 2, 64, 128
+MAX_GT, NC = 6, 5
+
+
+def _gt():
+    boxes = jnp.stack([
+        jnp.asarray(generate_boxes(MAX_GT, 4, seed=i, fov_range=(50, 110)))
+        for i in range(B)])
+    labels = jnp.tile(jnp.arange(MAX_GT) % NC, (B, 1))
+    mask = jnp.tile(jnp.arange(MAX_GT) < 4, (B, 1))
+    return boxes, labels, mask
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = faster_rcnn_config(NC, img_size=(H, W), num_proposals=64,
+                             num_rois=32, rpn_nms_pre=200)
+    model = SphFasterRCNN(num_classes=NC, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (B, H, W, 3))
+    variables = model.init(rng, images, method=SphFasterRCNN.init_all)
+    return cfg, model, variables, images
+
+
+def test_roi_align_constant_field():
+    """RoIAlign over a constant feature must return that constant."""
+    feat = jnp.full((16, 32, 8), 3.5)
+    rois = jnp.asarray([[2.0, 2.0, 20.0, 10.0], [0.0, 0.0, 31.0, 15.0]])
+    out = roi_align(feat, rois, out_size=7, spatial_scale=1.0)
+    assert out.shape == (2, 7, 7, 8)
+    np.testing.assert_allclose(np.asarray(out), 3.5, atol=1e-5)
+
+
+def test_roi_align_gradient_field():
+    """On a linear-in-x field, bin means must increase along x."""
+    x = jnp.broadcast_to(jnp.arange(32.0)[None, :, None], (16, 32, 1))
+    rois = jnp.asarray([[4.0, 4.0, 28.0, 12.0]])
+    out = np.asarray(roi_align(x, rois, out_size=7))[0, :, :, 0]
+    assert (np.diff(out.mean(axis=0)) > 0).all()
+    # center bin value ~ roi center x
+    assert abs(out[3, 3] - 16.0) < 2.0
+
+
+def test_multilevel_select():
+    feats = [jnp.full((2 ** (4 - l), 2 ** (5 - l), 4), float(l))
+             for l in range(4)]
+    # small roi -> level 0; huge roi -> level 3
+    rois = jnp.asarray([[0.0, 0.0, 8.0, 8.0], [0.0, 0.0, 500.0, 500.0]])
+    out = np.asarray(multilevel_roi_align(feats, rois, strides=(4, 8, 16, 32)))
+    assert out[0].mean() == pytest.approx(0.0)
+    assert out[1].mean() == pytest.approx(3.0)
+
+
+def test_rpn_and_proposals(setup):
+    cfg, model, variables, images = setup
+    (rpn_out, feats) = model.apply(variables, images)
+    rpn_cls, rpn_reg = rpn_out
+    assert len(rpn_cls) == 5
+    losses = rpn_loss(cfg, rpn_cls, rpn_reg, _gt()[0], _gt()[2])
+    assert np.isfinite(float(losses["loss_rpn_cls"]))
+    boxes, scores, valid = rpn_proposals(cfg, rpn_cls, rpn_reg)
+    assert boxes.shape == (B, cfg.num_proposals, 4)
+    assert bool(valid.any())
+
+
+def test_two_stage_loss_and_grads(setup):
+    cfg, model, variables, images = setup
+    gt_boxes, gt_labels, gt_mask = _gt()
+    rng = jax.random.PRNGKey(1)
+
+    def f(params):
+        v = {"params": params, "batch_stats": variables["batch_stats"]}
+        (rpn_cls, rpn_reg), feats = model.apply(v, images)
+        losses = rpn_loss(cfg, rpn_cls, rpn_reg, gt_boxes, gt_mask)
+        props, _, pvalid = rpn_proposals(cfg, rpn_cls, rpn_reg)
+        t = sample_rois(cfg, rng, jax.lax.stop_gradient(props), pvalid,
+                        gt_boxes, gt_labels, gt_mask)
+        rf = roi_features(cfg, feats, t.rois)
+        cls, reg = model.apply(v, rf.reshape(-1, 7, 7, rf.shape[-1]),
+                               method=SphFasterRCNN.roi)
+        losses.update(rcnn_loss(cfg, cls, reg, t))
+        return sum(losses.values()), losses
+
+    (total, losses), grads = jax.value_and_grad(f, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(total))
+    assert set(losses) == {"loss_rpn_cls", "loss_rpn_bbox", "loss_cls",
+                           "loss_bbox"}
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # both stages must receive gradient
+    assert float(jnp.abs(grads["rpn_head"]["rpn_reg"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(grads["bbox_head"]["fc_cls"]["kernel"]).sum()) > 0
+
+
+def test_sample_rois_includes_gt(setup):
+    cfg, *_ = setup
+    gt_boxes, gt_labels, gt_mask = _gt()
+    props = jnp.asarray(np.ones((B, cfg.num_proposals, 4), np.float32))
+    pvalid = jnp.zeros((B, cfg.num_proposals), bool)  # no rpn proposals
+    t = sample_rois(cfg, jax.random.PRNGKey(0), props, pvalid,
+                    gt_boxes, gt_labels, gt_mask)
+    # gts are appended as candidates, so positives must exist
+    assert int(t.pos_mask.sum()) > 0
+    # positive rois carry the gt label
+    pos = np.asarray(t.pos_mask[0])
+    lab = np.asarray(t.labels[0])
+    assert (lab[pos] < NC).all()
+
+
+def test_rcnn_predict(setup):
+    cfg, model, variables, images = setup
+    (rpn_cls, rpn_reg), feats = model.apply(variables, images)
+    props, _, pvalid = rpn_proposals(cfg, rpn_cls, rpn_reg)
+    rf = roi_features(cfg, feats, props)
+    cls, reg = model.apply(variables, rf.reshape(-1, 7, 7, rf.shape[-1]),
+                           method=SphFasterRCNN.roi)
+    p = cfg.num_proposals
+    res = rcnn_predict(cfg, cls.reshape(B, p, -1), reg.reshape(B, p, -1),
+                       props, pvalid)
+    assert res.boxes.shape == (B, cfg.max_per_img, 4)
+    assert np.isfinite(np.asarray(res.scores)).all()

@@ -38,16 +38,15 @@ def main():
 
     from sph_retina_tpu.data import DataLoader, SphPipeline, make_synthetic_dataset
     from sph_retina_tpu.engine import create_train_state
-    from sph_retina_tpu.engine.builder import (
-        build_datasets, build_detector_config, build_model, build_tx,
-    )
+    from sph_retina_tpu.engine.builder import build_datasets, build_tx
+    from sph_retina_tpu.engine.zoo import get_family
     from sph_retina_tpu.engine.evaluator import evaluate_dataset
     from sph_retina_tpu.engine.runner import Checkpointer
     from sph_retina_tpu.utils.config import apply_overrides, load_config
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
-    det_cfg = build_detector_config(cfg)
-    model = build_model(cfg)
+    family = get_family(cfg)
+    model, det_cfg = family.build(cfg)
 
     if args.synthetic:
         ds = make_synthetic_dataset(
@@ -64,15 +63,20 @@ def main():
 
     tx = build_tx(cfg, steps_per_epoch=1)
     h, w = cfg.get("img_size", (512, 1024))
-    state = create_train_state(model, det_cfg, jax.random.PRNGKey(0), tx,
-                               jnp.zeros((1, h, w, 3)))
+    variables0 = family.init(model, jax.random.PRNGKey(0),
+                             jnp.zeros((1, h, w, 3)))
+    from sph_retina_tpu.engine.train import TrainState
+    state = TrainState(jnp.zeros((), jnp.int32), variables0["params"],
+                       variables0.get("batch_stats", {}),
+                       tx.init(variables0["params"]))
     ckpt = Checkpointer(args.checkpoint)
     state = ckpt.restore(state)
     print(f"loaded checkpoint at step {int(state.step)}")
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    predict = jax.jit(family.predict_fn(model, det_cfg))
     results = evaluate_dataset(model, det_cfg, variables, loader,
-                               backend=args.iou_backend)
+                               backend=args.iou_backend, predict=predict)
     summary = {k: v for k, v in results.items() if isinstance(v, float)}
     print(json.dumps(summary, indent=2))
     if args.out:

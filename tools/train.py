@@ -54,13 +54,11 @@ def main():
     from sph_retina_tpu.engine import (
         create_train_state, make_train_step, shard_batch,
     )
-    from sph_retina_tpu.engine.builder import (
-        build_datasets, build_detector_config, build_model, build_tx,
-    )
+    from sph_retina_tpu.engine.builder import build_datasets, build_tx
+    from sph_retina_tpu.engine.zoo import get_family, make_generic_train_step
     from sph_retina_tpu.engine.evaluator import evaluate_dataset
     from sph_retina_tpu.engine.runner import Checkpointer, MetricLogger, run_training
     from sph_retina_tpu.engine.train import replicate_state
-    from sph_retina_tpu.models.single_stage import retina_loss
     from sph_retina_tpu.utils.config import apply_overrides, load_config
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
@@ -69,8 +67,8 @@ def main():
     os.makedirs(work_dir, exist_ok=True)
     cfg.setdefault("seed", args.seed)
 
-    det_cfg = build_detector_config(cfg)
-    model = build_model(cfg)
+    family = get_family(cfg)
+    model, det_cfg = family.build(cfg)
 
     if args.synthetic:
         ds = make_synthetic_dataset(
@@ -94,7 +92,12 @@ def main():
     rng = jax.random.PRNGKey(args.seed)
     h, w = cfg.get("img_size", (512, 1024))
     sample = jnp.zeros((1, h, w, 3), jnp.float32)
-    state = create_train_state(model, det_cfg, rng, tx, sample)
+    variables0 = family.init(model, rng, sample)
+    from sph_retina_tpu.engine.train import TrainState
+    import jax.numpy as _jnp
+    state = TrainState(_jnp.zeros((), _jnp.int32), variables0["params"],
+                       variables0.get("batch_stats", {}),
+                       tx.init(variables0["params"]))
 
     devices = np.array(jax.devices())
     mesh = Mesh(devices, axis_names=("data",))
@@ -109,13 +112,15 @@ def main():
     logger = MetricLogger(work_dir,
                           interval=cfg.get("log_config", {}).get("interval", 10))
 
-    step = jax.jit(make_train_step(model, det_cfg, tx, retina_loss),
+    step = jax.jit(make_generic_train_step(family, model, det_cfg, tx),
                    donate_argnums=0)
+
+    predict = jax.jit(family.predict_fn(model, det_cfg))
 
     def eval_fn(s):
         variables = {"params": s.params, "batch_stats": s.batch_stats}
         return {k: v for k, v in evaluate_dataset(
-            model, det_cfg, variables, val_loader).items()
+            model, det_cfg, variables, val_loader, predict=predict).items()
             if isinstance(v, float)}
 
     with mesh:
@@ -126,9 +131,9 @@ def main():
             max_epochs=max_epochs,
             logger=logger,
             checkpointer=ckpt,
-            ckpt_interval=cfg.get("checkpoint_config", {}).get("interval", 25),
+            ckpt_interval=(cfg.get("checkpoint_config") or {}).get("interval", 25),
             eval_fn=eval_fn if cfg.get("evaluation") else None,
-            eval_interval=cfg.get("evaluation", {}).get("interval", 5),
+            eval_interval=(cfg.get("evaluation") or {}).get("interval", 5),
             shard=lambda b: shard_batch(
                 {k: v for k, v in b.items() if k != "img_id"}, mesh),
         )
