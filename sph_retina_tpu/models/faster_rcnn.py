@@ -202,6 +202,11 @@ class FasterRCNNConfig:
     assign_backend: str = "sph2pob_efficient"
     rpn_nms_iou: float = 0.7
     rpn_nms_pre: int = 1000
+    # Upper bound on the NMS candidate set across levels: the (k, k) IoU
+    # matrix is O(B k^2) HBM, so the per-level top-k survivors are re-ranked
+    # globally to this cap before suppression (k=4384 at 512x1024 would
+    # allocate 19 GB).
+    rpn_matrix_cap: int = 2048
     score_thr: float = 0.05
     nms_iou_thr: float = 0.5
     max_per_img: int = 100
@@ -275,11 +280,12 @@ def rpn_proposals(cfg: FasterRCNNConfig, rpn_cls, rpn_reg):
             boxes_all.append(boxes)
             ids.append(jnp.full((k,), lvl, jnp.int32))
             valid.append(jnp.ones((k,), bool))
+        total = sum(t.shape[0] for t in tops)
         res = sph_batched_nms(
             jnp.concatenate(boxes_all), jnp.concatenate(tops),
             jnp.concatenate(ids),
             iou_threshold=cfg.rpn_nms_iou, max_num=cfg.num_proposals,
-            nms_pre=min(cfg.rpn_nms_pre * len(cls_lv), sum(t.shape[0] for t in tops)),
+            nms_pre=min(cfg.rpn_matrix_cap, total),
             backend=cfg.nms_backend,
             valid_mask=jnp.concatenate(valid))
         return res.boxes, res.scores, res.valid
