@@ -144,27 +144,46 @@ def _bilinear_sample(feat: jax.Array, x: jax.Array, y: jax.Array):
     return top * (1 - wy)[..., None] + bot * wy[..., None]
 
 
+def _hat_weights(coords: jax.Array, size: int) -> jax.Array:
+    """Bilinear interpolation weights as a dense matrix.
+
+    coords (..., S) in feature coords -> (..., S, size) where row s holds the
+    hat function max(0, 1 - |coord_s - i|): exactly the two-tap bilinear
+    weights, with edge clamping folded in by clipping the coordinate.
+    """
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    grid = jnp.arange(size, dtype=coords.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - grid))
+
+
 def roi_align(feat: jax.Array, rois_xyxy: jax.Array, out_size: int = 7,
               spatial_scale: float = 1.0, sampling_ratio: int = 2):
-    """RoIAlign on one feature map: (H, W, C) x (R, 4) -> (R, s, s, C)."""
-    s = out_size
-    sr = sampling_ratio
+    """RoIAlign on one feature map: (H, W, C) x (R, 4) -> (R, s, s, C).
 
-    def one(roi):
-        x1, y1, x2, y2 = roi * spatial_scale
-        bw = jnp.maximum(x2 - x1, 1e-3) / s
-        bh = jnp.maximum(y2 - y1, 1e-3) / s
-        # sr x sr samples per bin at fractional offsets
-        off = (jnp.arange(sr) + 0.5) / sr
-        gx = x1 + (jnp.arange(s)[:, None] + off[None, :]).reshape(-1) * bw  # (s*sr,)
-        gy = y1 + (jnp.arange(s)[:, None] + off[None, :]).reshape(-1) * bh
-        xx, yy = jnp.meshgrid(gx, gy, indexing="xy")  # (s*sr, s*sr)
-        vals = _bilinear_sample(feat, xx - 0.5, yy - 0.5)
-        c = vals.shape[-1]
-        vals = vals.reshape(s, sr, s, sr, c)
-        return jnp.mean(vals, axis=(1, 3))
+    TPU formulation: bilinear sampling = two dense interpolation matmuls
+    (separable hat-function weights) on the MXU instead of per-point
+    gathers — gathers are the slow path on TPU; matmuls are the fast one.
+    """
+    s, sr = out_size, sampling_ratio
+    h, w, c = feat.shape
+    x1, y1, x2, y2 = (rois_xyxy[:, i] * spatial_scale for i in range(4))
+    bw = jnp.maximum(x2 - x1, 1e-3) / s
+    bh = jnp.maximum(y2 - y1, 1e-3) / s
+    off = ((jnp.arange(s)[:, None] + (jnp.arange(sr) + 0.5)[None, :] / sr)
+           .reshape(-1))                                  # (s*sr,)
+    gx = x1[:, None] + off[None, :] * bw[:, None] - 0.5   # (R, s*sr)
+    gy = y1[:, None] + off[None, :] * bh[:, None] - 0.5
 
-    return jax.vmap(one)(rois_xyxy)
+    wy = _hat_weights(gy, h)                              # (R, S, H)
+    wx = _hat_weights(gx, w)                              # (R, S, W)
+    # rows: (R, S, H) x (H, W*C) -> (R, S, W, C)
+    tmp = jnp.einsum("rsh,hq->rsq", wy, feat.reshape(h, w * c),
+                     preferred_element_type=jnp.float32).reshape(-1, s * sr, w, c)
+    # cols: (R, S, W) x (R, W, S'*C)… contract W per roi
+    out = jnp.einsum("rtw,rswc->rstc", wx, tmp,
+                     preferred_element_type=jnp.float32)  # (R, Sy, Sx, c)
+    out = out.reshape(-1, s, sr, s, sr, c)
+    return jnp.mean(out, axis=(2, 4)).astype(feat.dtype)
 
 
 def multilevel_roi_align(feats: Sequence[jax.Array], rois_xyxy: jax.Array,
