@@ -70,6 +70,18 @@ def test_dp_train_step_on_mesh(mesh):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_dryrun_multichip_entry():
+    """The driver's dryrun entry must run as-is (it pins the CPU platform
+    itself; under the suite the backend is already cpu+8, which it accepts)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
 def test_sharded_matches_single_device(mesh):
     """DP over 8 devices must produce the same loss as one device."""
     h, w, nc = 64, 128, 5
