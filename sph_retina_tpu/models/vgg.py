@@ -68,6 +68,34 @@ class SSDVGG(nn.Module):
         return tuple(feats)
 
 
+# torchvision vgg16 `features` module indices of the 13 conv layers
+_TV_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def port_torchvision_vgg16(state_dict: dict) -> dict:
+    """torchvision vgg16 ``features.*`` conv weights -> SSDVGG params.
+
+    Only the 13 conv layers transfer (reference parity: mmdet's SSDVGG loads
+    the VGG16 conv weights from the pretrained checkpoint while the
+    fc-derived conv6/conv7 and the L2Norm scale are freshly initialized).
+    Accepts a mapping name -> array (OIHW kernels); returns a partial
+    ``{"params": ...}`` tree to merge over ``SSDVGG.init`` output.
+    """
+    import numpy as np
+
+    params: dict = {}
+    idx = iter(_TV_VGG16_CONV_IDX)
+    for b, (n_convs, _) in enumerate(_VGG16_BLOCKS):
+        for i in range(n_convs):
+            k = next(idx)
+            w = np.asarray(state_dict[f"features.{k}.weight"])
+            params[f"conv{b + 1}_{i + 1}"] = {
+                "kernel": w.transpose(2, 3, 1, 0),
+                "bias": np.asarray(state_dict[f"features.{k}.bias"]),
+            }
+    return {"params": params}
+
+
 class SSDNeck(nn.Module):
     """Extra feature blocks (ssd300.py:14-20 channel/stride spec)."""
 

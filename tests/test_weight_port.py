@@ -1,0 +1,215 @@
+"""Numerical proof of the pretrained-backbone port (VERDICT r1 missing #3).
+
+torchvision is not installed in this environment, so the tests construct
+torch modules with the *exact torchvision layout and parameter naming*
+(resnet50 bottleneck stack with ``layer{i}.{b}.conv{j}`` / ``downsample.0/1``
+keys; vgg16 ``features.{idx}`` conv indices), randomize every weight AND the
+BN running statistics, and assert the Flax forward after porting matches the
+torch eval-mode forward numerically. This is the same tensor layout a real
+``torchvision://resnet50`` checkpoint has
+(/root/reference/configs/_base_/models/sph_retinanet_r50_fpn.py:13), so a
+downloaded state dict drops in unchanged.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from sph_retina_tpu.models import (  # noqa: E402
+    ResNet,
+    SSDVGG,
+    load_backbone,
+    port_torchvision_vgg16,
+    port_torchvision_weights,
+)
+
+
+# ---------------------------------------------------------------- resnet50
+class TVBottleneck(tnn.Module):
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TVResNet50(tnn.Module):
+    """torchvision.models.resnet50 topology + state_dict naming."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU(inplace=True)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        self.inplanes = 64
+        self.layer1 = self._make_layer(64, 3, 1)
+        self.layer2 = self._make_layer(128, 4, 2)
+        self.layer3 = self._make_layer(256, 6, 2)
+        self.layer4 = self._make_layer(512, 3, 2)
+
+    def _make_layer(self, planes, blocks, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = tnn.Sequential(
+                tnn.Conv2d(self.inplanes, planes * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+        layers = [TVBottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        layers += [TVBottleneck(self.inplanes, planes)
+                   for _ in range(blocks - 1)]
+        return tnn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        outs = []
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+            outs.append(x)
+        return outs
+
+
+def _randomize_bn_stats(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.5)
+                m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+                m.weight.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+                m.bias.copy_(torch.randn(m.num_features, generator=g) * 0.1)
+
+
+@pytest.fixture(scope="module")
+def tv_resnet():
+    torch.manual_seed(0)
+    m = TVResNet50().eval()
+    _randomize_bn_stats(m)
+    return m
+
+
+def test_resnet50_port_matches_torch_forward(tv_resnet):
+    sd = {k: v.numpy() for k, v in tv_resnet.state_dict().items()}
+    variables = port_torchvision_weights(sd, depth=50)
+
+    x = np.random.default_rng(1).standard_normal((2, 64, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        torch_outs = tv_resnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    model = ResNet(depth=50, out_indices=(0, 1, 2, 3), dtype=jnp.float32)
+    flax_outs = model.apply(variables, jnp.asarray(x))
+
+    assert len(flax_outs) == 4
+    for t, f in zip(torch_outs, flax_outs):
+        np.testing.assert_allclose(
+            t.numpy().transpose(0, 2, 3, 1), np.asarray(f),
+            rtol=1e-4, atol=1e-4)
+
+
+def test_resnet50_ported_tree_matches_init(tv_resnet):
+    """The ported tree has exactly the structure ResNet.init produces."""
+    import jax
+
+    sd = {k: v.numpy() for k, v in tv_resnet.state_dict().items()}
+    ported = port_torchvision_weights(sd, depth=50)
+    model = ResNet(depth=50, dtype=jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)))
+    for col in ("params", "batch_stats"):
+        a = {"/".join(p) if isinstance(p, tuple) else p
+             for p, _ in _flat(init[col])}
+        b = {"/".join(p) for p, _ in _flat(ported[col])}
+        assert a == b, (a - b, b - a)
+
+
+def _flat(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flat(v, path + (k,))
+    else:
+        yield path, tree
+
+
+def test_load_backbone_into_detector(tv_resnet, tmp_path):
+    """--load-backbone flow: save .pth, graft onto SphRetinaNet variables."""
+    import jax
+
+    from sph_retina_tpu.models import SphRetinaNet
+
+    path = str(tmp_path / "r50.pth")
+    torch.save(tv_resnet.state_dict(), path)
+
+    model = SphRetinaNet(num_classes=5, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)))
+    loaded = load_backbone(variables, path, arch="resnet50")
+
+    w = np.asarray(loaded["params"]["backbone"]["conv1"]["kernel"])
+    expect = tv_resnet.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(w, expect, rtol=1e-6)
+    # non-backbone params untouched
+    for k in loaded["params"]:
+        if k != "backbone":
+            assert loaded["params"][k] is variables["params"][k]
+    # grafted variables still run
+    cls, reg = model.apply(loaded, jnp.zeros((1, 64, 128, 3)))
+    assert np.all(np.isfinite(np.asarray(cls[0], np.float32)))
+
+
+# ------------------------------------------------------------------ vgg16
+class TVVGG16Features(tnn.Module):
+    """torchvision.models.vgg16 `features` indices 0..30."""
+
+    def __init__(self):
+        super().__init__()
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, in_ch = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers += [tnn.Conv2d(in_ch, v, 3, padding=1), tnn.ReLU(True)]
+                in_ch = v
+        self.features = tnn.Sequential(*layers)
+
+
+def test_vgg16_port_matches_torch_forward():
+    torch.manual_seed(0)
+    tv = TVVGG16Features().eval()
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    ported = port_torchvision_vgg16(sd)
+
+    x = np.random.default_rng(2).standard_normal((1, 64, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        # through conv4_3 conv (features index 21), pre-ReLU — the deepest
+        # tensor both sides compute identically (SSDVGG pool5/conv6 diverge
+        # from stock vgg16 by design)
+        t = tv.features[:22](torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    import jax
+
+    model = SSDVGG(dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros_like(jnp.asarray(x)))
+    merged_params = {**variables["params"], **ported["params"]}
+    _, inter = model.apply({"params": merged_params}, jnp.asarray(x),
+                           capture_intermediates=True)
+    f = inter["intermediates"]["conv4_3"]["__call__"][0]
+    np.testing.assert_allclose(
+        t.numpy().transpose(0, 2, 3, 1), np.asarray(f), rtol=1e-4, atol=1e-4)
