@@ -29,9 +29,15 @@ class DataLoader:
     num_workers: int = 4
     drop_last: bool = True
     prefetch: int = 2
+    # Multi-process data parallelism: each process reads shard ``shard_id``
+    # of ``num_shards`` (torch DistributedSampler semantics: shuffle with a
+    # process-identical per-epoch seed, wrap-pad so every shard has equal
+    # length, then stride-slice).
+    num_shards: int = 1
+    shard_id: int = 0
 
     def __len__(self):
-        n = len(self.dataset)
+        n = -(-len(self.dataset) // self.num_shards)  # padded shard length
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -40,6 +46,13 @@ class DataLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
+        if self.num_shards > 1:
+            total = len(self) * self.batch_size if self.drop_last else (
+                -(-len(idx) // self.num_shards))
+            total *= self.num_shards
+            if total > len(idx):  # wrap-pad (DistributedSampler parity)
+                idx = np.concatenate([idx, idx[: total - len(idx)]])
+            idx = idx[self.shard_id:total:self.num_shards]
         if self.drop_last:
             idx = idx[: len(self) * self.batch_size]
         return idx

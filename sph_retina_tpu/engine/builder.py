@@ -75,7 +75,8 @@ def build_model(cfg: dict):
     )
 
 
-def build_datasets(cfg: dict, split: str = "train"):
+def build_datasets(cfg: dict, split: str = "train", num_shards: int = 1,
+                   shard_id: int = 0):
     d = cfg["data"][split]
     ds = SphCocoDataset(
         ann_file=d["ann_file"],
@@ -96,6 +97,8 @@ def build_datasets(cfg: dict, split: str = "train"):
         num_workers=cfg["data"].get("workers_per_gpu", 4),
         seed=cfg.get("seed", 0),
         drop_last=split == "train",
+        num_shards=num_shards,
+        shard_id=shard_id,
     )
     return ds, loader
 

@@ -30,29 +30,62 @@ def evaluate_dataset(
     backend: str = "sph2pob_efficient",
     iou_thrs=None,
     predict=None,
+    distributed: bool = False,
+    return_raw: bool = False,
 ) -> dict:
     """Run inference over a (non-shuffled) loader and compute COCO-style AP.
 
     ``predict(variables, images) -> NMSResult`` defaults to the RetinaNet
-    path; pass a zoo family's jitted predict for other detectors."""
+    path; pass a zoo family's jitted predict for other detectors.
+
+    ``distributed=True``: the loader is expected to be process-sharded
+    (``DataLoader(num_shards=n_proc, shard_id=rank)``); per-process padded
+    result arrays are all-gathered to every process and de-duplicated by
+    image id before scoring (reference ``multi_gpu_test`` + collect_results
+    semantics, /root/reference/mmdet/apis/test.py:81-213), so every process
+    returns the identical full-dataset metrics.
+    """
     if predict is None:
         predict = make_predict_step(model, cfg)
-    det_results, annotations = [], []
+    acc = {k: [] for k in ("boxes", "scores", "labels", "valid",
+                           "gt_boxes", "gt_labels", "gt_mask", "img_id")}
     for batch in loader.epoch(0):
         res = predict(variables, jnp.asarray(batch["images"]))
-        boxes = np.asarray(res.boxes)
-        scores = np.asarray(res.scores)
-        labels = np.asarray(res.labels)
-        valid = np.asarray(res.valid)
-        for i in range(boxes.shape[0]):
-            v = valid[i]
-            det_results.append((boxes[i][v], scores[i][v], labels[i][v]))
-            m = batch["gt_mask"][i]
-            annotations.append({
-                "boxes": batch["gt_boxes"][i][m],
-                "labels": batch["gt_labels"][i][m],
-            })
+        acc["boxes"].append(np.asarray(res.boxes))
+        acc["scores"].append(np.asarray(res.scores))
+        acc["labels"].append(np.asarray(res.labels))
+        acc["valid"].append(np.asarray(res.valid))
+        acc["gt_boxes"].append(np.asarray(batch["gt_boxes"]))
+        acc["gt_labels"].append(np.asarray(batch["gt_labels"]))
+        acc["gt_mask"].append(np.asarray(batch["gt_mask"]))
+        acc["img_id"].append(np.asarray(
+            batch.get("img_id", np.full(res.boxes.shape[0], -1, np.int64))))
+    arrays = {k: np.concatenate(v, axis=0) for k, v in acc.items()}
+
+    if distributed:
+        from ..parallel import all_gather_eval_arrays
+
+        arrays = all_gather_eval_arrays(arrays)
+        if np.all(arrays["img_id"] >= 0):
+            # drop wrap-pad duplicates from the sharded sampler
+            _, first = np.unique(arrays["img_id"], return_index=True)
+            keep = np.sort(first)
+            arrays = {k: v[keep] for k, v in arrays.items()}
+
+    det_results, annotations = [], []
+    for i in range(arrays["boxes"].shape[0]):
+        v = arrays["valid"][i]
+        det_results.append((arrays["boxes"][i][v], arrays["scores"][i][v],
+                            arrays["labels"][i][v]))
+        m = arrays["gt_mask"][i]
+        annotations.append({
+            "boxes": arrays["gt_boxes"][i][m],
+            "labels": arrays["gt_labels"][i][m],
+        })
     kwargs = {} if iou_thrs is None else {"iou_thrs": iou_thrs}
-    return eval_spherical_map(
+    metrics = eval_spherical_map(
         det_results, annotations, cfg.num_classes, backend=backend, **kwargs
     )
+    if return_raw:
+        return metrics, arrays
+    return metrics

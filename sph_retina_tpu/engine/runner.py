@@ -26,10 +26,13 @@ from .train import TrainState
 class MetricLogger:
     log_dir: str
     interval: int = 10
+    enabled: bool = True  # False on non-zero ranks: log() still NaN-checks
     _file: object = field(default=None, repr=False)
     _tb: object = field(default=None, repr=False)
 
     def __post_init__(self):
+        if not self.enabled:
+            return
         os.makedirs(self.log_dir, exist_ok=True)
         self._file = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
         try:
@@ -40,6 +43,8 @@ class MetricLogger:
             self._tb = None
 
     def log(self, step: int, metrics: dict, prefix: str = "train"):
+        if not self.enabled:
+            return
         record = {"step": step, "prefix": prefix,
                   **{k: float(v) for k, v in metrics.items()},
                   "time": time.time()}
@@ -50,7 +55,8 @@ class MetricLogger:
                 self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
 
     def close(self):
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
         if self._tb is not None:
             self._tb.close()
 
@@ -92,6 +98,28 @@ class Checkpointer:
         self._ckpt.wait_until_finished()
 
 
+class RankZeroCheckpointer(Checkpointer):
+    """Multi-process checkpointing via host-local snapshots.
+
+    Replicated global arrays keep the full value in every process, so the
+    checkpoint is taken as a host-local copy (plain numpy, fully addressable)
+    and handed to orbax from EVERY process — orbax's save is itself a
+    cross-process collective (it barriers internally), with only the primary
+    process writing the replicated data. Restore reads the same files on
+    every process (shared filesystem, as the reference assumes for
+    work_dirs; mmdet/apis/test.py:136-178 tmpdir semantics)."""
+
+    def save(self, state: TrainState, epoch: int, metric: float | None = None):
+        from ..parallel import host_local_copy
+
+        super().save(host_local_copy(state), epoch, metric)
+
+    def restore(self, state: TrainState, path: str | None = None) -> TrainState:
+        from ..parallel import host_local_copy
+
+        return super().restore(host_local_copy(state), path)
+
+
 def run_training(
     *,
     train_step,
@@ -107,7 +135,12 @@ def run_training(
 ):
     """The main loop. ``eval_fn(state) -> dict`` runs on eval epochs."""
     step_count = int(state.step)
-    for epoch in range(max_epochs):
+    # Resume at the epoch the restored step count implies (mmcv
+    # EpochBasedRunner resume semantics) rather than replaying from epoch 0.
+    steps_per_epoch = max(1, len(loader)) if hasattr(loader, "__len__") else None
+    start_epoch = min(step_count // steps_per_epoch, max_epochs) \
+        if steps_per_epoch else 0
+    for epoch in range(start_epoch, max_epochs):
         t_epoch = time.time()
         for batch in loader.epoch(epoch):
             state, metrics = train_step(state, shard(batch))

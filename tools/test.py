@@ -22,10 +22,16 @@ def main():
     p.add_argument("--iou-backend", default="sph2pob_efficient",
                    help="spherical IoU backend used for det-gt matching")
     p.add_argument("--out", default=None, help="write results JSON here")
+    p.add_argument("--save-raw", default=None, metavar="NPZ",
+                   help="write padded raw result arrays (input to "
+                        "tools/confusion_matrix.py / analyze_results.py)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a JAX platform (the environment pins the TPU "
                         "plugin; use cpu for smoke tests)")
+    p.add_argument("--launcher", default="none", choices=["none", "jax"],
+                   help="multi-process eval: shard the dataset over "
+                        "processes and all-gather results")
     p.add_argument("--cfg-options", nargs="*", default=None)
     args = p.parse_args()
 
@@ -34,6 +40,11 @@ def main():
     if args.device:
         jax.config.update("jax_platforms",
                           "axon" if args.device == "tpu" else args.device)
+
+    from sph_retina_tpu.parallel import init_distributed
+
+    rank, world = init_distributed(args.launcher)
+
     import jax.numpy as jnp
 
     from sph_retina_tpu.data import DataLoader, SphPipeline, make_synthetic_dataset
@@ -57,9 +68,10 @@ def main():
                            training=False,
                            box_version=cfg["model"].get("box_version", 4))
         loader = DataLoader(ds, pipe, batch_size=4, shuffle=False,
-                            drop_last=False)
+                            drop_last=False, num_shards=world, shard_id=rank)
     else:
-        _, loader = build_datasets(cfg, "test")
+        _, loader = build_datasets(cfg, "test", num_shards=world,
+                                   shard_id=rank)
 
     tx = build_tx(cfg, steps_per_epoch=1)
     h, w = cfg.get("img_size", (512, 1024))
@@ -76,12 +88,22 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     predict = jax.jit(family.predict_fn(model, det_cfg))
     results = evaluate_dataset(model, det_cfg, variables, loader,
-                               backend=args.iou_backend, predict=predict)
+                               backend=args.iou_backend, predict=predict,
+                               distributed=world > 1,
+                               return_raw=bool(args.save_raw))
+    if args.save_raw:
+        results, raw = results
+        if rank == 0:
+            from sph_retina_tpu.engine.analysis import save_raw_results
+
+            save_raw_results(args.save_raw, raw)
+            print(f"raw results -> {args.save_raw}")
     summary = {k: v for k, v in results.items() if isinstance(v, float)}
-    print(json.dumps(summary, indent=2))
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(summary, f)
+    if rank == 0:
+        print(json.dumps(summary, indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(summary, f)
 
 
 if __name__ == "__main__":

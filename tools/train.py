@@ -34,6 +34,19 @@ def parse_args():
     p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a JAX platform (the environment pins the TPU "
                         "plugin; use cpu for smoke tests)")
+    p.add_argument("--load-backbone", default=None, metavar="PATH",
+                   help="torch checkpoint (.pth state_dict, torchvision "
+                        "layout) ported onto the backbone before training — "
+                        "torchvision://resnet50 parity")
+    p.add_argument("--launcher", default="none", choices=["none", "jax"],
+                   help="multi-process init: 'jax' calls "
+                        "jax.distributed.initialize (args from "
+                        "COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID or "
+                        "auto-detected on TPU pods)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port for --launcher jax")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -46,19 +59,26 @@ def main():
     if args.device:
         jax.config.update("jax_platforms",
                           "axon" if args.device == "tpu" else args.device)
+
+    from sph_retina_tpu.parallel import (
+        data_mesh, host_local_copy, init_distributed, make_global_batch,
+        replicate_to_mesh,
+    )
+
+    rank, world = init_distributed(
+        args.launcher, coordinator_address=args.coordinator,
+        num_processes=args.num_processes, process_id=args.process_id)
+
     import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import Mesh
 
     from sph_retina_tpu.data import DataLoader, SphPipeline, make_synthetic_dataset
-    from sph_retina_tpu.engine import (
-        create_train_state, make_train_step, shard_batch,
-    )
     from sph_retina_tpu.engine.builder import build_datasets, build_tx
     from sph_retina_tpu.engine.zoo import get_family, make_generic_train_step
     from sph_retina_tpu.engine.evaluator import evaluate_dataset
-    from sph_retina_tpu.engine.runner import Checkpointer, MetricLogger, run_training
-    from sph_retina_tpu.engine.train import replicate_state
+    from sph_retina_tpu.engine.runner import (
+        Checkpointer, MetricLogger, RankZeroCheckpointer, run_training,
+    )
     from sph_retina_tpu.utils.config import apply_overrides, load_config
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
@@ -72,19 +92,24 @@ def main():
 
     if args.synthetic:
         ds = make_synthetic_dataset(
-            n_images=32, num_classes=cfg["model"]["num_classes"],
+            n_images=cfg.get("data", {}).get("n_synthetic", 32),
+            num_classes=cfg["model"]["num_classes"],
             img_size=tuple(cfg.get("img_size", (512, 1024))),
             box_version=cfg["model"].get("box_version", 4))
         pipe = SphPipeline(img_size=tuple(cfg.get("img_size", (512, 1024))),
                            max_gt=cfg.get("data", {}).get("max_gt", 64),
                            box_version=cfg["model"].get("box_version", 4))
         bs = cfg.get("data", {}).get("samples_per_gpu", 4)
-        loader = DataLoader(ds, pipe, batch_size=bs, seed=args.seed)
+        loader = DataLoader(ds, pipe, batch_size=bs, seed=args.seed,
+                            num_shards=world, shard_id=rank)
         val_loader = DataLoader(ds, pipe, batch_size=bs, shuffle=False,
-                                drop_last=False, seed=args.seed)
+                                drop_last=False, seed=args.seed,
+                                num_shards=world, shard_id=rank)
     else:
-        _, loader = build_datasets(cfg, "train")
-        _, val_loader = build_datasets(cfg, "val")
+        _, loader = build_datasets(cfg, "train", num_shards=world,
+                                   shard_id=rank)
+        _, val_loader = build_datasets(cfg, "val", num_shards=world,
+                                       shard_id=rank)
 
     max_epochs = args.max_epochs or cfg.get("runner", {}).get("max_epochs", 120)
     tx = build_tx(cfg, steps_per_epoch=max(len(loader), 1))
@@ -93,51 +118,66 @@ def main():
     h, w = cfg.get("img_size", (512, 1024))
     sample = jnp.zeros((1, h, w, 3), jnp.float32)
     variables0 = family.init(model, rng, sample)
+    if args.load_backbone:
+        from sph_retina_tpu.models import load_backbone
+
+        arch = cfg["model"].get("backbone", {}).get("arch") or (
+            "vgg16" if cfg["model"].get("type", "").endswith("SSD")
+            else f"resnet{cfg['model'].get('backbone', {}).get('depth', 50)}")
+        variables0 = load_backbone(variables0, args.load_backbone, arch=arch)
+        print(f"loaded {arch} backbone from {args.load_backbone}")
     from sph_retina_tpu.engine.train import TrainState
-    import jax.numpy as _jnp
-    state = TrainState(_jnp.zeros((), _jnp.int32), variables0["params"],
+    state = TrainState(jnp.zeros((), jnp.int32), variables0["params"],
                        variables0.get("batch_stats", {}),
                        tx.init(variables0["params"]))
 
-    devices = np.array(jax.devices())
-    mesh = Mesh(devices, axis_names=("data",))
-    state = replicate_state(state, mesh)
-    print(f"devices: {devices.tolist()}; steps/epoch: {len(loader)}")
-
-    ckpt = Checkpointer(os.path.join(work_dir, "ckpts"))
+    ckpt_cls = RankZeroCheckpointer if world > 1 else Checkpointer
+    ckpt = ckpt_cls(os.path.join(work_dir, "ckpts"))
     if args.resume_from or args.auto_resume:
         state = ckpt.restore(state, args.resume_from)
         print(f"resumed from step {int(state.step)}")
 
-    logger = MetricLogger(work_dir,
+    mesh = data_mesh()
+    state = replicate_to_mesh(state, mesh)
+    print(f"process {rank}/{world}; devices: {len(jax.devices())} "
+          f"({len(jax.local_devices())} local); steps/epoch: {len(loader)}")
+
+    logger = MetricLogger(work_dir, enabled=rank == 0,
                           interval=cfg.get("log_config", {}).get("interval", 10))
 
-    step = jax.jit(make_generic_train_step(family, model, det_cfg, tx),
-                   donate_argnums=0)
+    step = jax.jit(
+        make_generic_train_step(family, model, det_cfg, tx, seed=args.seed),
+        donate_argnums=0)
 
     predict = jax.jit(family.predict_fn(model, det_cfg))
 
     def eval_fn(s):
         variables = {"params": s.params, "batch_stats": s.batch_stats}
+        if world > 1:
+            # run inference process-locally on this process's val shard,
+            # then all-gather results (multi_gpu_test semantics)
+            variables = host_local_copy(variables)
         return {k: v for k, v in evaluate_dataset(
-            model, det_cfg, variables, val_loader, predict=predict).items()
-            if isinstance(v, float)}
+            model, det_cfg, variables, val_loader, predict=predict,
+            distributed=world > 1).items() if isinstance(v, float)}
 
-    with mesh:
-        run_training(
-            train_step=step,
-            state=state,
-            loader=loader,
-            max_epochs=max_epochs,
-            logger=logger,
-            checkpointer=ckpt,
-            ckpt_interval=(cfg.get("checkpoint_config") or {}).get("interval", 25),
-            eval_fn=eval_fn if cfg.get("evaluation") else None,
-            eval_interval=(cfg.get("evaluation") or {}).get("interval", 5),
-            shard=lambda b: shard_batch(
-                {k: v for k, v in b.items() if k != "img_id"}, mesh),
-        )
-    logger.close()
+    try:
+        with mesh:
+            run_training(
+                train_step=step,
+                state=state,
+                loader=loader,
+                max_epochs=max_epochs,
+                logger=logger,
+                checkpointer=ckpt,
+                ckpt_interval=(cfg.get("checkpoint_config") or {}).get("interval", 25),
+                eval_fn=eval_fn if cfg.get("evaluation") else None,
+                eval_interval=(cfg.get("evaluation") or {}).get("interval", 5),
+                shard=lambda b: make_global_batch(
+                    {k: v for k, v in b.items() if k != "img_id"}, mesh),
+            )
+    finally:
+        logger.close()
     print("training done")
 
 
