@@ -96,24 +96,6 @@ def unbiased_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-8) -> jax
     cross21 = -cross12
     cands = jnp.concatenate([v1, v2, cross12, cross21], axis=-2)  # (..., 40, 3)
 
-    # Nearly-parallel boundary planes (|cross| ~ 0) have no meaningful
-    # intersection point; their normalized direction is noise that can sneak
-    # through the inside test on near-identical pairs.
-    cross_ok = jnp.sum(raw12 * raw12, axis=-1) > 1e-8  # (..., 16)
-
-    # Near-identical pairs need special treatment: duplicated corners and
-    # degenerate cross-candidates poison the spherical-excess sum (the
-    # reference's disabled remove_redundant_points_by_DFS chased the same
-    # defect, and its oracle loops forever on identical pairs). We detect
-    # pair-level degeneracy — every box1 corner has a coincident box2
-    # corner — and only then force box1's corners valid and dedup the rest;
-    # generic pairs keep the exact reference-parity path.
-    d2_corner = jnp.sum(
-        (v1[..., :, None, :] - v2[..., None, :, :]) ** 2, axis=-1
-    )  # (..., 4, 4)
-    near_identical = jnp.all(jnp.min(d2_corner, axis=-1) < 1e-6, axis=-1)  # (...)
-    v1_forced = jnp.any(d2_corner < 1e-6, axis=-1) & near_identical[..., None]
-
     # Edge planes at each candidate: the two planes whose intersection it is.
     # Interior angle at the vertex = arccos(-e0 . e1).
     e0 = jnp.concatenate([n1[..., pa, :], n2[..., pa, :], n1e, n2e], axis=-2)
@@ -126,23 +108,6 @@ def unbiased_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-8) -> jax
     planes = jnp.concatenate([n1, n2], axis=-2)  # (..., 8, 3)
     dots = jnp.sum(cands[..., :, None, :] * planes[..., None, :, :], axis=-1)
     inside = jnp.all(dots >= -_TOL, axis=-1)  # (..., 40)
-    false16 = jnp.zeros_like(cross_ok)
-    force = jnp.concatenate(
-        [v1_forced, jnp.zeros_like(v1_forced), false16, false16], axis=-1
-    )
-    drop = jnp.concatenate(
-        [jnp.zeros_like(v1_forced)] * 2 + [~cross_ok, ~cross_ok], axis=-1
-    )
-    inside_plain = inside
-    inside = (inside | force) & ~drop
-
-    # First-wins dedup of coincident valid candidates (degenerate pairs only).
-    d2_all = jnp.sum(
-        (cands[..., :, None, :] - cands[..., None, :, :]) ** 2, axis=-1
-    )  # (..., 40, 40)
-    earlier = jnp.tril(jnp.ones((40, 40), dtype=bool), k=-1)
-    dup = jnp.any((d2_all < 1e-8) & earlier & inside[..., None, :], axis=-1)
-    inside = jnp.where(near_identical[..., None], inside & ~dup, inside_plain)
 
     cos_int = jnp.clip(-jnp.sum(e0 * e1, axis=-1), -1.0, 1.0)
     angles = jnp.arccos(cos_int)  # (..., 40)
@@ -154,4 +119,25 @@ def unbiased_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-8) -> jax
 
     area1 = spherical_box_area(boxes1[..., 2], boxes1[..., 3])
     area2 = spherical_box_area(boxes2[..., 2], boxes2[..., 3])
-    return (inter + eps) / (area1 + area2 - inter - eps)
+    iou = (inter + eps) / (area1 + area2 - inter - eps)
+
+    # Near-identical pairs: duplicated corners and degenerate cross
+    # candidates poison the spherical-excess sum (the reference's disabled
+    # remove_redundant_points_by_DFS chased the same defect, and its oracle
+    # loops forever on identical pairs, unbiased_iou_bfov.py:178). Detect
+    # pair-level degeneracy — every box1 corner within 1e-3 rad of a box2
+    # corner — and use the analytic value instead: two boxes whose corners
+    # coincide to 1e-3 intersect in min(area) up to O(1e-3 * perimeter),
+    # far inside any consumer's tolerance (assignment/NMS thresholds, and
+    # the oracle tests never sample near-identical pairs). This replaces
+    # round 1's first-wins dedup over a (..., 40, 40) distance tensor,
+    # whose N*M*1600 floats blew up HBM on the pairwise path
+    # (nms_pre=1000 => ~6.4 GB); peak intermediate is now the (..., 40, 8)
+    # plane-dot tensor.
+    d2_corner = jnp.sum(
+        (v1[..., :, None, :] - v2[..., None, :, :]) ** 2, axis=-1
+    )  # (..., 4, 4)
+    near_identical = jnp.all(jnp.min(d2_corner, axis=-1) < 1e-6, axis=-1)
+    amin = jnp.minimum(area1, area2)
+    amax = jnp.maximum(area1, area2)
+    return jnp.where(near_identical, (amin + eps) / (amax + eps), iou)

@@ -224,3 +224,39 @@ def test_nms_scores_sorted_and_jit():
     res = f(boxes, scores, idxs)
     sc = np.asarray(res.scores)[np.asarray(res.valid)]
     assert (np.diff(sc) <= 1e-6).all()
+
+
+def test_unbiased_nms_eval_preset_memory_bounded():
+    """Eval-parity NMS preset: SphNMS(iou_calculator='unbiased_iou') at
+    nms_pre=1000 (reference test pipeline, SURVEY.md §3.2). Round 1's
+    unbiased path materialized an (N, N, 40, 40) dedup tensor (~6.4 GB at
+    k=1000); after the restructure the peak intermediate is (N, N, 40, 8),
+    so this must run comfortably. Also checks unbiased and sph2pob NMS agree
+    on which boxes survive for well-separated duplicates."""
+    rng = np.random.default_rng(0)
+    n = 1200
+    base = np.asarray(generate_boxes(40, 4, seed=3, fov_range=(15.0, 50.0)))
+    boxes = base[rng.integers(0, 40, n)]
+    boxes = boxes + rng.normal(0, 0.3, boxes.shape).astype(np.float32)
+    boxes[:, 2:] = np.clip(boxes[:, 2:], 2.0, 170.0)
+    boxes[:, 0] %= 360.0
+    boxes[:, 1] = np.clip(boxes[:, 1], 1.0, 179.0)
+    scores = rng.random(n).astype(np.float32)
+    idxs = rng.integers(0, 5, n).astype(np.int32)
+
+    res_u = jax.jit(
+        lambda b, s, i: sph_batched_nms(
+            b, s, i, iou_threshold=0.5, max_num=100, nms_pre=1000,
+            backend="unbiased")
+    )(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(idxs))
+    assert int(res_u.valid.sum()) > 0
+    assert np.isfinite(np.asarray(res_u.scores)).all()
+
+    res_s = sph_batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(idxs),
+        iou_threshold=0.5, max_num=100, nms_pre=1000,
+        backend="sph2pob_efficient")
+    keep_u = set(np.asarray(res_u.inds)[np.asarray(res_u.valid)].tolist())
+    keep_s = set(np.asarray(res_s.inds)[np.asarray(res_s.valid)].tolist())
+    overlap = len(keep_u & keep_s) / max(len(keep_u | keep_s), 1)
+    assert overlap > 0.7, f"unbiased vs sph2pob NMS keep-set overlap {overlap}"
