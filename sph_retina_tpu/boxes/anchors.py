@@ -122,6 +122,23 @@ class SphAnchorGenerator:
         return jnp.concatenate(self.grid_anchors(featmap_sizes), axis=0)
 
 
+def kent_grid_anchors(generator: "SphAnchorGenerator", featmap_sizes):
+    """Per-level grid anchors as canonical Kent parameters.
+
+    Parity with the reference's KentAnchorGenerator
+    (sphdet/bbox/anchor/kent_anchor_generator.py:26): planar grid anchors
+    converted pixel->spherical->Kent. Design decision (SURVEY.md §7
+    "reference bugs not to replicate"): the reference fork hijacked
+    SphAnchorGenerator to emit Kent anchors *unconditionally*
+    (sph_anchor_generator.py:39), breaking every non-Kent config; here
+    detectors always consume spherical anchors, and Kent-space anchors are
+    an explicit precomputation for Kent assignment/loss paths.
+    """
+    from ..iou.kent import deg2kent
+
+    return [deg2kent(a) for a in generator.grid_anchors(featmap_sizes)]
+
+
 @dataclasses.dataclass(frozen=True)
 class SphSSDAnchorGenerator(SphAnchorGenerator):
     """SSD-style anchors: per-level min/max sizes + ratio set.

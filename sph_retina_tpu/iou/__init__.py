@@ -3,6 +3,7 @@ from .unbiased import unbiased_iou as unbiased_iou_elementwise
 from .approx import fov_iou_aligned, sph_iou_aligned
 from .kent import (
     deg2kent,
+    kent_mle,
     kent_iou_elementwise,
     kent_iou_from_params,
     kent_kld,
@@ -23,6 +24,7 @@ from .api import (
 
 __all__ = [
     "deg2kent",
+    "kent_mle",
     "kent_iou_elementwise",
     "kent_iou_from_params",
     "kent_kld",

@@ -97,13 +97,11 @@ def _sample_box_points(boxes_rad):
     return jnp.stack([-ry, -rz, -rx], axis=-1)  # (..., 121, 3)
 
 
-def deg2kent(boxes_deg: jax.Array, img_size=None) -> jax.Array:
-    """BFoV degrees (..., 4) -> Kent params (..., 5) (kappa, beta, alpha,
-    psi, eta). ``img_size`` accepted for reference API compatibility; the
-    projection is resolution-independent.
-    """
-    del img_size
-    boxes_rad = jnp.deg2rad(jnp.asarray(boxes_deg, jnp.float32)[..., :4])
+def _kent_moments(boxes_rad: jax.Array):
+    """Sample moments of the 11x11 tangent grid: (r1, r2, alpha, psi, eta).
+
+    r1 = |mean resultant|, r2 = t22 - t33 in the moment frame
+    (kent_formator.py:468-501 tlts_kent_me)."""
     xs = _sample_box_points(boxes_rad)  # (..., K, 3)
 
     xbar = jnp.mean(xs, axis=-2)  # (..., 3)
@@ -118,7 +116,6 @@ def deg2kent(boxes_deg: jax.Array, img_size=None) -> jax.Array:
     # H frame (kent_formator.py:110-115), rows of H^T
     ca, sa = jnp.cos(alpha), jnp.sin(alpha)
     ce, se = jnp.cos(eta), jnp.sin(eta)
-    h1 = jnp.stack([ca, sa * ce, sa * se], axis=-1)       # == g1
     h2 = jnp.stack([-sa, ca * ce, ca * se], axis=-1)
     h3 = jnp.stack([jnp.zeros_like(ca), -se, ce], axis=-1)
 
@@ -137,15 +134,71 @@ def deg2kent(boxes_deg: jax.Array, img_size=None) -> jax.Array:
     g2 = cp[..., None] * h2 + sp[..., None] * h3
     g3 = -sp[..., None] * h2 + cp[..., None] * h3
 
-    t22 = quad(g2, g2)
-    t33 = quad(g3, g3)
-    r2 = t22 - t33
+    r2 = quad(g2, g2) - quad(g3, g3)
+    return r1, r2, alpha, psi, eta
+
+
+def deg2kent(boxes_deg: jax.Array, img_size=None) -> jax.Array:
+    """BFoV degrees (..., 4) -> Kent params (..., 5) (kappa, beta, alpha,
+    psi, eta) by moment estimation. ``img_size`` accepted for reference API
+    compatibility; the projection is resolution-independent.
+    """
+    del img_size
+    boxes_rad = jnp.deg2rad(jnp.asarray(boxes_deg, jnp.float32)[..., :4])
+    r1, r2, alpha, psi, eta = _kent_moments(boxes_rad)
 
     denom_m = jnp.maximum(2.0 - 2.0 * r1 - r2, 1e-6)
     denom_p = jnp.maximum(2.0 - 2.0 * r1 + r2, 1e-6)
     kappa = jnp.maximum(MIN_KAPPA, 1.0 / denom_m + 1.0 / denom_p)
     beta = 0.5 * (1.0 / denom_m - 1.0 / denom_p)
 
+    return jnp.stack([kappa, beta, alpha, psi, eta], axis=-1)
+
+
+def kent_mle(boxes_deg: jax.Array, iters: int = 25) -> jax.Array:
+    """BFoV degrees (..., 4) -> Kent params (..., 5) by maximum likelihood.
+
+    Device-friendly counterpart of the reference's scipy ``fmin_bfgs`` MLE
+    (kent_formator.py:527 kent_mle) — never on the main path there or here,
+    but part of the capability surface. With the moment frame fixed, the
+    asymptotic normalizer log c = log 2pi + kappa - 0.5 log(kappa^2-4beta^2)
+    (the reference's c_approximation, kent_iou_calculator.py:31) turns the
+    score equations into
+
+        d log c / d kappa = 1 - kappa/d = r1,     d = kappa^2 - 4 beta^2
+        d log c / d beta  = 4 beta / d  = r2,
+
+    solved by a fixed-iteration 2x2 Newton from the moment estimate —
+    closed-form Jacobian, fully batched, jit/grad-compatible (no host
+    loop, no scipy).
+    """
+    boxes_rad = jnp.deg2rad(jnp.asarray(boxes_deg, jnp.float32)[..., :4])
+    r1, r2, alpha, psi, eta = _kent_moments(boxes_rad)
+
+    # moment-estimate init
+    denom_m = jnp.maximum(2.0 - 2.0 * r1 - r2, 1e-6)
+    denom_p = jnp.maximum(2.0 - 2.0 * r1 + r2, 1e-6)
+    kappa = jnp.maximum(MIN_KAPPA, 1.0 / denom_m + 1.0 / denom_p)
+    beta = 0.5 * (1.0 / denom_m - 1.0 / denom_p)
+
+    def newton(_, kb):
+        k, b = kb
+        d = jnp.maximum(k * k - 4.0 * b * b, 1e-6)
+        f1 = 1.0 - k / d - r1
+        f2 = 4.0 * b / d - r2
+        j11 = (k * k + 4.0 * b * b) / (d * d)       # dF1/dk
+        j12 = -8.0 * k * b / (d * d)                # dF1/db
+        j21 = j12                                   # dF2/dk (symmetric)
+        j22 = (4.0 * k * k + 16.0 * b * b) / (d * d)
+        det = jnp.where(jnp.abs(j11 * j22 - j12 * j21) < 1e-12, 1e-12,
+                        j11 * j22 - j12 * j21)
+        dk = (j22 * f1 - j12 * f2) / det
+        db = (j11 * f2 - j21 * f1) / det
+        k = jnp.maximum(k - dk, MIN_KAPPA)
+        b = jnp.clip(b - db, 0.0, (k - 1e-3) / 2.0)  # kappa > 2 beta
+        return k, b
+
+    kappa, beta = jax.lax.fori_loop(0, iters, newton, (kappa, beta))
     return jnp.stack([kappa, beta, alpha, psi, eta], axis=-1)
 
 

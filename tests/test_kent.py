@@ -108,3 +108,49 @@ def test_kent_large_kappa_no_overflow():
     assert float(k[0, 0]) > 500.0  # genuinely large kappa
     kld = np.asarray(kent_kld(k[:1], k[1:]))
     assert np.isfinite(kld).all()
+
+
+def test_kent_mle_satisfies_score_equations():
+    """MLE (kappa, beta) must zero the asymptotic-normalizer score
+    equations 1 - kappa/d = r1, 4 beta/d = r2 (reference kent_mle via
+    fmin_bfgs, kent_formator.py:527; here fixed-iteration Newton)."""
+    from sph_retina_tpu.iou.kent import _kent_moments, kent_mle
+
+    boxes = jnp.asarray(generate_boxes(32, 4, seed=5, fov_range=(10.0, 80.0)))
+    params = kent_mle(boxes)
+    k, b = np.asarray(params[:, 0]), np.asarray(params[:, 1])
+    r1, r2, *_ = (np.asarray(m) for m in
+                  _kent_moments(jnp.deg2rad(boxes)))
+    d = k * k - 4.0 * b * b
+    np.testing.assert_allclose(1.0 - k / d, r1, atol=5e-4)
+    np.testing.assert_allclose(4.0 * b / d, r2, atol=5e-4)
+    assert (k > 2.0 * b - 1e-5).all()
+
+
+def test_kent_mle_close_to_moment_estimate():
+    """The Newton MLE refines rather than contradicts the moment estimator
+    (same frame, kappa/beta within a modest relative distance)."""
+    from sph_retina_tpu.iou.kent import kent_mle
+
+    boxes = jnp.asarray(generate_boxes(16, 4, seed=9, fov_range=(15.0, 60.0)))
+    me = np.asarray(deg2kent(boxes))
+    mle = np.asarray(kent_mle(boxes))
+    np.testing.assert_allclose(mle[:, 2:], me[:, 2:], atol=1e-6)  # frame fixed
+    ratio = mle[:, 0] / me[:, 0]
+    assert (ratio > 0.5).all() and (ratio < 2.0).all()
+    assert np.isfinite(mle).all()
+
+
+def test_kent_grid_anchors_parity():
+    """KentAnchorGenerator counterpart: per-level Kent-space anchors."""
+    from sph_retina_tpu.boxes.anchors import SphAnchorGenerator, kent_grid_anchors
+
+    gen = SphAnchorGenerator(strides=[8, 16], ratios=[1.0],
+                             octave_base_scale=4, scales_per_octave=1)
+    sizes = [(8, 16), (4, 8)]
+    kents = kent_grid_anchors(gen, sizes)
+    sph = gen.grid_anchors(sizes)
+    for kp, sp in zip(kents, sph):
+        assert kp.shape == (sp.shape[0], 5)
+        assert np.isfinite(np.asarray(kp)).all()
+        assert (np.asarray(kp[:, 0]) > 0).all()  # kappa positive
