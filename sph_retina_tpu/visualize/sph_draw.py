@@ -81,19 +81,24 @@ def erp_box_polyline(box_deg, img_size=(512, 1024), samples_per_edge=24):
 
 
 def draw_boxes(image: np.ndarray, boxes, labels=None, scores=None,
-               class_names=None, score_thr: float = 0.0, width: int = 2):
-    """Draw spherical boxes on an ERP image; returns an RGB uint8 array."""
+               class_names=None, score_thr: float = 0.0, width: int = 2,
+               color=None):
+    """Draw spherical boxes on an ERP image; returns an RGB uint8 array.
+
+    ``color``: optional fixed RGB tuple overriding the per-class palette
+    (e.g. GT green vs prediction red in tools/analyze_results.py)."""
     from PIL import Image, ImageDraw
 
     img = Image.fromarray(np.ascontiguousarray(image.astype(np.uint8)))
     draw = ImageDraw.Draw(img)
     h, w = image.shape[:2]
     boxes = np.asarray(boxes)
+    fixed_color = tuple(color) if color is not None else None
     for i, box in enumerate(boxes):
         if scores is not None and scores[i] < score_thr:
             continue
         label = int(labels[i]) if labels is not None else 0
-        color = _PALETTE[label % len(_PALETTE)]
+        color = fixed_color or _PALETTE[label % len(_PALETTE)]
         for seg in erp_box_polyline(box, (h, w)):
             draw.line([tuple(p) for p in seg], fill=color, width=width)
         tag = None
