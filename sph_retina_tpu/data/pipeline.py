@@ -55,16 +55,6 @@ class SphPipeline:
             Image.fromarray(img).resize((w, h), Image.BILINEAR)
         )
 
-    def flip(self, img, boxes, rng: np.random.Generator):
-        if self.training and rng.random() < self.flip_ratio:
-            img = img[:, ::-1]
-            boxes = boxes.copy()
-            if boxes.shape[0]:
-                boxes[:, 0] = 360.0 - boxes[:, 0]
-                if boxes.shape[1] == 5:
-                    boxes[:, 4] = -boxes[:, 4]
-        return img, boxes
-
     def normalize(self, img: np.ndarray) -> np.ndarray:
         return (img.astype(np.float32) - self.mean) / self.std
 

@@ -214,12 +214,14 @@ def get_family(cfg_dict):
     return FAMILIES[kind]
 
 
-def make_generic_train_step(family, model, cfg, tx):
-    """Train step serving every family; rng folds in the step counter."""
+def make_generic_train_step(family, model, cfg, tx, seed: int = 0):
+    """Train step serving every family; rng = fold_in(seed key, step) so RoI
+    sampling etc. is deterministic per step yet responds to the user seed."""
     loss = family.loss_fn(model, cfg)
+    base_rng = jax.random.PRNGKey(seed)
 
     def train_step(state: TrainState, batch: dict):
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        rng = jax.random.fold_in(base_rng, state.step)
         variables = {"params": None, "batch_stats": state.batch_stats}
 
         def compute(params):
