@@ -1,8 +1,8 @@
 """Fused Sph2Pob-IoU pipeline in componentwise, inverse-trig-free form.
 
 The whole hot path — degree-space jitter, efficient Sph2Pob transform,
-rotated-box jitter, sort-free polygon clipping — expressed over *separate
-component arrays* instead of stacked (..., D) boxes, using only primitives
+rotated-box jitter, Green's-theorem rectangle intersection — expressed over
+*separate component arrays* instead of stacked (..., D) boxes, using only primitives
 the Mosaic TPU compiler lowers (sin/cos/sqrt/rsqrt/div; **no**
 arccos/atan2, which Pallas-TPU does not implement):
 
@@ -34,7 +34,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..iou.rotated import _clip_halfplane_unrolled, _shoelace
+from ..iou.rotated import intersection_greens_cs as _intersection_greens_cs
 
 _EPS = 1e-4 * 1.2345678
 _ANG_EPS = 1e-3 * 1.2345678
@@ -193,15 +193,6 @@ def _transform_efficient_cs(b1, b2):
     return (zero, zero, a1, be1, cos1, sin1), (arc, zero, a2, be2, cos2, sin2)
 
 
-def _corner_list_cs(cx, cy, w, h, cos, sin):
-    """CCW corners from (cos, sin) orientation — no trig."""
-    hw, hh = w * 0.5, h * 0.5
-    pts = []
-    for sx, sy in ((1.0, 1.0), (-1.0, 1.0), (-1.0, -1.0), (1.0, -1.0)):
-        dx, dy = sx * hw, sy * hh
-        pts.append((cx + dx * cos - dy * sin, cy + dx * sin + dy * cos))
-    return pts
-
 
 def fused_sph2pob_iou(b1, b2):
     """Degrees-in componentwise fused IoU.
@@ -221,11 +212,12 @@ def fused_sph2pob_iou(b1, b2):
     p1, p2 = _transform_efficient_cs(b1, b2)
     p1, p2 = _jitter_rotated_cs(p1, p2)
 
-    poly = _corner_list_cs(*p1)
-    clip = _corner_list_cs(*p2)
-    for k in range(4):
-        (axp, ayp), (bxp, byp) = clip[k], clip[(k + 1) % 4]
-        poly = _clip_halfplane_unrolled(poly, axp, ayp, bxp, byp)
-    inter = jnp.maximum(_shoelace(poly), 0.0)
-    union = jnp.abs(p1[2] * p1[3]) + jnp.abs(p2[2] * p2[3]) - inter
+    area1 = jnp.abs(p1[2] * p1[3])
+    area2 = jnp.abs(p2[2] * p2[3])
+    # Bound by each box area: the Green's form double-counts boundary runs
+    # shared bitwise-exactly, which the jitter above makes improbable but
+    # cannot rule out; the clamp keeps any residual case in [0, 1].
+    inter = jnp.minimum(jnp.minimum(_intersection_greens_cs(p1, p2), area1),
+                        area2)
+    union = area1 + area2 - inter
     return jnp.clip(inter / union, 0.0, 1.0)

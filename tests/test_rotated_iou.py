@@ -119,3 +119,63 @@ def test_gradients_finite_and_useful():
     assert np.isfinite(np.asarray(g2)).all()
     # moving box2 towards box1 should reduce the loss: d(loss)/d(cx2) > 0
     assert float(g2[0, 0]) > 0.0
+
+
+def test_greens_matches_clip_on_generic_pairs():
+    """Boundary-integral intersection == 2x-emit clip on generic (jittered-
+    regime) rotated pairs, including the jit/FMA regression case where an
+    empty parameter interval collapses far off-segment."""
+    from sph_retina_tpu.iou.rotated import (
+        intersection_greens_cs,
+        rotated_box_iou,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    boxes = []
+    for _ in range(2):
+        cx, cy = rng.uniform(-2, 2, n), rng.uniform(-2, 2, n)
+        w, h = rng.uniform(0.01, 3, n), rng.uniform(0.01, 3, n)
+        a = rng.uniform(-np.pi, np.pi, n)
+        boxes.append(np.stack([cx, cy, w, h, a], -1).astype(np.float32))
+    b1, b2 = jnp.asarray(boxes[0]), jnp.asarray(boxes[1])
+
+    def greens_iou(b1, b2):
+        p = []
+        for b in (b1, b2):
+            p.append((b[..., 0], b[..., 1], b[..., 2], b[..., 3],
+                      jnp.cos(b[..., 4]), jnp.sin(b[..., 4])))
+        inter = intersection_greens_cs(p[0], p[1])
+        a1 = jnp.abs(p[0][2] * p[0][3])
+        a2 = jnp.abs(p[1][2] * p[1][3])
+        return inter / (a1 + a2 - inter)
+
+    got = np.asarray(jax.jit(greens_iou)(b1, b2))
+    ref = np.asarray(jax.jit(rotated_box_iou)(b1, b2))
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+    # FMA regression pair: disjoint, nearly antiparallel, interval collapse
+    # at |t| ~ 1e4 (was +4.06 area under XLA FMA contraction).
+    pb1 = jnp.asarray([[-1.06982483, 0.68967436, 2.23213795, 2.40592657,
+                        2.71484095]], jnp.float32)
+    pb2 = jnp.asarray([[0.36135001, -1.82813364, 0.64721464, 0.46627297,
+                        0.42631972]], jnp.float32)
+    assert float(jax.jit(greens_iou)(pb1, pb2)[0]) < 1e-5
+
+
+def test_greens_containment_and_grad():
+    from sph_retina_tpu.iou.rotated import intersection_greens_cs
+
+    def inter_of(args):
+        b1, b2 = args[:5], args[5:]
+        p1 = (b1[0], b1[1], b1[2], b1[3], jnp.cos(b1[4]), jnp.sin(b1[4]))
+        p2 = (b2[0], b2[1], b2[2], b2[3], jnp.cos(b2[4]), jnp.sin(b2[4]))
+        return intersection_greens_cs(p1, p2)
+
+    args = jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0,   # P unit square
+                        0.1, 0.0, 3.0, 3.0, 0.3])  # Q big rotated
+    assert abs(float(inter_of(args)) - 1.0) < 1e-6  # P inside Q
+    g = jax.grad(inter_of)(args)
+    assert np.isfinite(np.asarray(g)).all()
+    # d(inter)/d(w_P) = h_P = 1 when P fully inside Q
+    assert abs(float(g[2]) - 1.0) < 1e-5
