@@ -103,11 +103,27 @@ def build_datasets(cfg: dict, split: str = "train", num_shards: int = 1,
     return ds, loader
 
 
-def build_tx(cfg: dict, steps_per_epoch: int):
+def scaled_base_lr(cfg: dict, num_devices: int = 1) -> float:
+    """Linear LR scaling rule (reference ``auto_scale_lr``,
+    /root/reference/mmdet/apis/train.py:71-114): when enabled, scale the
+    configured lr by (num_devices * samples_per_gpu) / base_batch_size."""
+    opt = cfg.get("optimizer", {})
+    lr = opt.get("lr", 0.005)
+    asl = cfg.get("auto_scale_lr", {})
+    if not asl.get("enable", False):
+        return lr
+    base = asl.get("base_batch_size")
+    if not base:
+        return lr
+    batch = num_devices * cfg.get("data", {}).get("samples_per_gpu", 4)
+    return lr * batch / base
+
+
+def build_tx(cfg: dict, steps_per_epoch: int, num_devices: int = 1):
     opt = cfg.get("optimizer", {})
     lr_cfg = cfg.get("lr_config", {})
     schedule = step_lr_schedule(
-        opt.get("lr", 0.005),
+        scaled_base_lr(cfg, num_devices),
         steps_per_epoch,
         milestones=tuple(lr_cfg.get("step", (80, 110))),
         warmup_iters=lr_cfg.get("warmup_iters", 500),

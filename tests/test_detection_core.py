@@ -260,3 +260,17 @@ def test_unbiased_nms_eval_preset_memory_bounded():
     keep_s = set(np.asarray(res_s.inds)[np.asarray(res_s.valid)].tolist())
     overlap = len(keep_u & keep_s) / max(len(keep_u | keep_s), 1)
     assert overlap > 0.7, f"unbiased vs sph2pob NMS keep-set overlap {overlap}"
+
+
+def test_auto_scale_lr_linear_rule():
+    """Linear scaling rule semantics (mmdet/apis/train.py:71-114)."""
+    from sph_retina_tpu.engine.builder import scaled_base_lr
+
+    cfg = {"optimizer": {"lr": 0.01},
+           "data": {"samples_per_gpu": 4},
+           "auto_scale_lr": {"enable": True, "base_batch_size": 16}}
+    assert scaled_base_lr(cfg, num_devices=8) == 0.01 * 32 / 16
+    assert scaled_base_lr(cfg, num_devices=4) == 0.01  # batch == base
+    cfg["auto_scale_lr"]["enable"] = False
+    assert scaled_base_lr(cfg, num_devices=8) == 0.01
+    assert scaled_base_lr({"optimizer": {"lr": 0.02}}) == 0.02

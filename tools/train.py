@@ -112,7 +112,8 @@ def main():
                                        shard_id=rank)
 
     max_epochs = args.max_epochs or cfg.get("runner", {}).get("max_epochs", 120)
-    tx = build_tx(cfg, steps_per_epoch=max(len(loader), 1))
+    tx = build_tx(cfg, steps_per_epoch=max(len(loader), 1),
+                  num_devices=jax.device_count())
 
     rng = jax.random.PRNGKey(args.seed)
     h, w = cfg.get("img_size", (512, 1024))
