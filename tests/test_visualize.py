@@ -41,3 +41,73 @@ def test_plot_scatter(tmp_path):
     r = plot_iou_scatter(a, a * 0.9 + 0.05, out_file=str(tmp_path / "s.png"))
     assert (tmp_path / "s.png").exists()
     assert r > 0.99
+
+
+# ---------------------------------------------------------------- camera
+def test_camera_extract_recovers_centered_feature():
+    """A perspective view centered on a bright ERP spot sees it centered."""
+    from sph_retina_tpu.visualize import PerspectiveCamera
+
+    erp = np.zeros((256, 512), np.float64)
+    # bright spot at theta=100 deg, phi=70 deg
+    erp[int(70 / 180 * 256), int(100 / 360 * 512)] = 1.0
+    # blur it a touch so bilinear sampling can catch it
+    erp = np.maximum.reduce([np.roll(np.roll(erp, i, 0), j, 1)
+                             for i in (-1, 0, 1) for j in (-1, 0, 1)])
+    cam = PerspectiveCamera(512, 256, fov_w=40, fov_h=40, long_side=96)
+    view = cam.extract(erp, 100.0, 70.0)
+    iy, ix = np.unravel_index(np.argmax(view), view.shape)
+    assert abs(ix - view.shape[1] / 2) <= 2
+    assert abs(iy - view.shape[0] / 2) <= 2
+
+
+def test_camera_extract_shapes_and_dtype():
+    from sph_retina_tpu.visualize import PerspectiveCamera
+
+    erp = np.random.default_rng(0).integers(0, 255, (128, 256, 3)).astype(np.uint8)
+    cam = PerspectiveCamera(256, 128, fov_w=64, fov_h=32, long_side=80)
+    view = cam.extract(erp, 350.0, 90.0)  # crosses the seam
+    assert view.dtype == np.uint8
+    assert view.shape[1] == 80 and view.shape[0] < 80  # tangent aspect rule
+    assert view.std() > 0
+
+
+def test_camera_border_surrounds_center():
+    from sph_retina_tpu.visualize import PerspectiveCamera
+
+    cam = PerspectiveCamera(1024, 512)
+    px = cam.box_border_px([180.0, 90.0, 40.0, 30.0])
+    assert px[:, 0].min() < 512 < px[:, 0].max()
+    assert px[:, 1].min() < 256 < px[:, 1].max()
+    # tangent-plane border width ~ alpha: 40/360*1024 = 114 px
+    wpx = px[:, 0].max() - px[:, 0].min()
+    assert 90 < wpx < 140
+
+
+def test_camera_rbfov_gamma_rotates_border():
+    from sph_retina_tpu.visualize import PerspectiveCamera
+
+    cam = PerspectiveCamera(1024, 512)
+    a = cam.box_border_px([90.0, 60.0, 40.0, 16.0, 0.0])
+    b = cam.box_border_px([90.0, 60.0, 40.0, 16.0, 45.0])
+    assert abs(a[:, 1].max() - b[:, 1].max()) > 5
+
+
+def test_camera_planar_bbox_seam():
+    from sph_retina_tpu.visualize import PerspectiveCamera
+
+    cam = PerspectiveCamera(1024, 512)
+    inner = cam.planar_bbox([180.0, 90.0, 40.0, 30.0])
+    assert inner[0] < 512 < inner[2]
+    # box wrapping the seam reports the wider one-side cluster
+    seam = cam.planar_bbox([1.0, 90.0, 40.0, 30.0])
+    assert seam[2] - seam[0] < 1024 / 2
+
+
+def test_camera_draw_box_writes_pixels():
+    from sph_retina_tpu.visualize import PerspectiveCamera
+
+    cam = PerspectiveCamera(256, 128)
+    img = np.zeros((128, 256, 3), np.uint8)
+    out = cam.draw_box(img, [358.0, 90.0, 30.0, 30.0], color=(0, 255, 0))
+    assert out.sum() > 0
