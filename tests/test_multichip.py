@@ -47,7 +47,9 @@ def _batch(b, h, w, g, nc):
 def test_dp_train_step_on_mesh(mesh):
     h, w, nc = 64, 128, 5
     cfg = retina_config(nc, img_size=(h, w))
-    model = SphRetinaNet(num_classes=nc, dtype=jnp.float32)
+    # R18: DP semantics are depth-independent; R50 costs 10+ min of
+    # single-threaded XLA-CPU compile on a 1-core host.
+    model = SphRetinaNet(num_classes=nc, depth=18, dtype=jnp.float32)
     tx = build_optimizer(step_lr_schedule(0.01, 10), grad_clip=35.0)
     batch = _batch(N_DEV, h, w, 8, nc)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), tx,
@@ -86,7 +88,7 @@ def test_sharded_matches_single_device(mesh):
     """DP over 8 devices must produce the same loss as one device."""
     h, w, nc = 64, 128, 5
     cfg = retina_config(nc, img_size=(h, w))
-    model = SphRetinaNet(num_classes=nc, dtype=jnp.float32)
+    model = SphRetinaNet(num_classes=nc, depth=18, dtype=jnp.float32)
     tx = build_optimizer(step_lr_schedule(0.01, 10))
     batch = _batch(N_DEV, h, w, 8, nc)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), tx,
