@@ -59,15 +59,33 @@ def _pairwise_iou(boxes: jax.Array, backend: str) -> jax.Array:
 
 
 def _greedy_suppress(iou: jax.Array, valid: jax.Array, thr: float) -> jax.Array:
-    """Exact score-descending greedy NMS over a pre-sorted candidate set."""
+    """Exact score-descending greedy NMS over a pre-sorted candidate set.
+
+    Greedy NMS is the unique fixpoint of the dominance recurrence
+    ``keep[i] = valid[i] and not any(j < i, keep[j], iou[j, i] > thr)``
+    (unique by strong induction on the score order). Iterating the map from
+    ``keep = valid`` stabilizes the first undecided box every sweep, so it
+    reaches that fixpoint in at most chain-depth iterations — a handful in
+    practice — each a fully vectorized (k, k) masked reduction. The naive
+    alternative, a k-step sequential greedy scan, is latency-bound on TPU
+    (k small vector ops in a row); this form replaces it with O(depth)
+    VPU-wide sweeps and an early-exit ``while_loop``.
+    """
     k = iou.shape[0]
     idx = jnp.arange(k)
+    dom = (iou > thr) & (idx[:, None] < idx[None, :])  # j (row) can kill i
 
-    def body(i, keep):
-        kill = (iou[i] > thr) & (idx > i) & keep[i]
-        return keep & ~kill
+    def cond(carry):
+        keep, prev, it = carry
+        return jnp.any(keep != prev) & (it <= k)
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    def body(carry):
+        keep, _, it = carry
+        new = valid & ~jnp.any(dom & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(cond, body, (valid, ~valid, jnp.int32(0)))
+    return keep
 
 
 def sph_batched_nms(

@@ -174,14 +174,23 @@ def roi_align(feat: jax.Array, rois_xyxy: jax.Array, out_size: int = 7,
     gx = x1[:, None] + off[None, :] * bw[:, None] - 0.5   # (R, s*sr)
     gy = y1[:, None] + off[None, :] * bh[:, None] - 0.5
 
-    wy = _hat_weights(gy, h)                              # (R, S, H)
-    wx = _hat_weights(gx, w)                              # (R, S, W)
-    # rows: (R, S, H) x (H, W*C) -> (R, S, W, C)
-    tmp = jnp.einsum("rsh,hq->rsq", wy, feat.reshape(h, w * c),
-                     preferred_element_type=jnp.float32).reshape(-1, s * sr, w, c)
-    # cols: (R, S, W) x (R, W, S'*C)… contract W per roi
-    out = jnp.einsum("rtw,rswc->rstc", wx, tmp,
-                     preferred_element_type=jnp.float32)  # (R, Sy, Sx, c)
+    wy = _hat_weights(gy, h).astype(feat.dtype)           # (R, S, H)
+    wx = _hat_weights(gx, w).astype(feat.dtype)           # (R, S, W)
+    # The (R, S, spatial, C) intermediate is the HBM-bandwidth bottleneck
+    # (the matmuls themselves are cheap): contract the WIDER spatial dim
+    # first so it carries the narrower one (ERP charts have W = 2H), and
+    # keep it in the feature dtype (bf16 in the model path) — 4x less
+    # HBM traffic than a float32 W-carrying intermediate.
+    if w >= h:
+        tmp = jnp.einsum("rtw,hwc->rthc", wx, feat,
+                         preferred_element_type=feat.dtype)
+        out = jnp.einsum("rsh,rthc->rstc", wy, tmp,
+                         preferred_element_type=jnp.float32)
+    else:
+        tmp = jnp.einsum("rsh,hwc->rswc", wy, feat,
+                         preferred_element_type=feat.dtype)
+        out = jnp.einsum("rtw,rswc->rstc", wx, tmp,
+                         preferred_element_type=jnp.float32)
     out = out.reshape(-1, s, sr, s, sr, c)
     return jnp.mean(out, axis=(2, 4)).astype(feat.dtype)
 

@@ -274,3 +274,29 @@ def test_auto_scale_lr_linear_rule():
     cfg["auto_scale_lr"]["enable"] = False
     assert scaled_base_lr(cfg, num_devices=8) == 0.01
     assert scaled_base_lr({"optimizer": {"lr": 0.02}}) == 0.02
+
+
+def test_fixpoint_suppress_equals_sequential_greedy():
+    """The while_loop dominance fixpoint in _greedy_suppress must equal the
+    textbook sequential greedy scan on random IoU matrices, including long
+    suppression chains (A kills B kills-would-have C => C survives)."""
+    from sph_retina_tpu.boxes.nms import _greedy_suppress
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        k = int(rng.integers(2, 60))
+        iou = rng.uniform(0, 1, (k, k)).astype(np.float32)
+        iou = np.maximum(iou, iou.T)
+        valid = rng.uniform(0, 1, k) > 0.2
+        thr = float(rng.uniform(0.2, 0.8))
+
+        keep_ref = valid.copy()
+        for i in range(k):
+            if keep_ref[i]:
+                for j in range(i + 1, k):
+                    if iou[i, j] > thr:
+                        keep_ref[j] = False
+
+        got = np.asarray(_greedy_suppress(jnp.asarray(iou),
+                                          jnp.asarray(valid), thr))
+        np.testing.assert_array_equal(got, keep_ref, err_msg=f"trial {trial}")
