@@ -24,11 +24,21 @@ from .train import TrainState
 
 @dataclass
 class MetricLogger:
+    """JSONL + TensorBoard (+ optional wandb) metric sink.
+
+    Reference logging surface: TextLoggerHook + TensorboardLoggerHook at
+    interval 10 and the optional WandbLoggerHook
+    (/root/reference/mmdet/core/hook/wandblogger_hook.py); wandb here is
+    opt-in via ``wandb_init`` kwargs and degrades to a no-op when the
+    package is absent."""
+
     log_dir: str
     interval: int = 10
     enabled: bool = True  # False on non-zero ranks: log() still NaN-checks
+    wandb_init: dict | None = None  # e.g. {"project": "sph", "name": "run1"}
     _file: object = field(default=None, repr=False)
     _tb: object = field(default=None, repr=False)
+    _wandb: object = field(default=None, repr=False)
 
     def __post_init__(self):
         if not self.enabled:
@@ -41,6 +51,13 @@ class MetricLogger:
             self._tb = SummaryWriter(os.path.join(self.log_dir, "tb"))
         except Exception:
             self._tb = None
+        if self.wandb_init is not None:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(dir=self.log_dir, **self.wandb_init)
+            except Exception:
+                self._wandb = None
 
     def log(self, step: int, metrics: dict, prefix: str = "train"):
         if not self.enabled:
@@ -53,12 +70,20 @@ class MetricLogger:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
+        if self._wandb is not None:
+            self._wandb.log({f"{prefix}/{k}": float(v)
+                             for k, v in metrics.items()}, step=step)
 
     def close(self):
         if self._file is not None:
             self._file.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            try:
+                self._wandb.finish()
+            except Exception:
+                pass
 
 
 class Checkpointer:

@@ -77,3 +77,17 @@ def test_raw_results_roundtrip(tmp_path):
     b = load_raw_results(path)
     assert set(b) == set(a)
     np.testing.assert_array_equal(b["boxes"], a["boxes"])
+
+
+def test_metric_logger_wandb_degrades_gracefully(tmp_path):
+    """wandb is opt-in config; when the package is absent the logger must
+    still write JSONL/TB without error (WandbLoggerHook parity)."""
+    import json
+
+    from sph_retina_tpu.engine.runner import MetricLogger
+
+    lg = MetricLogger(str(tmp_path), wandb_init={"project": "x"})
+    lg.log(1, {"loss": 0.5})
+    lg.close()
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert json.loads(lines[-1])["loss"] == 0.5

@@ -143,8 +143,10 @@ def main():
     print(f"process {rank}/{world}; devices: {len(jax.devices())} "
           f"({len(jax.local_devices())} local); steps/epoch: {len(loader)}")
 
+    log_cfg = cfg.get("log_config", {})
     logger = MetricLogger(work_dir, enabled=rank == 0,
-                          interval=cfg.get("log_config", {}).get("interval", 10))
+                          interval=log_cfg.get("interval", 10),
+                          wandb_init=log_cfg.get("wandb", None))
 
     step = jax.jit(
         make_generic_train_step(family, model, det_cfg, tx, seed=args.seed),
