@@ -174,25 +174,32 @@ def roi_align(feat: jax.Array, rois_xyxy: jax.Array, out_size: int = 7,
     gx = x1[:, None] + off[None, :] * bw[:, None] - 0.5   # (R, s*sr)
     gy = y1[:, None] + off[None, :] * bh[:, None] - 0.5
 
-    wy = _hat_weights(gy, h).astype(feat.dtype)           # (R, S, H)
-    wx = _hat_weights(gx, w).astype(feat.dtype)           # (R, S, W)
-    # The (R, S, spatial, C) intermediate is the HBM-bandwidth bottleneck
+    # Sub-sample averaging is linear in the interpolation weights, so fold
+    # the mean over the sr sub-samples into the hat matrices up front:
+    # mean_s bilinear(g_s) == interp with averaged weights, exactly. Halves
+    # the sample axis (S = out_size instead of out_size * sr) everywhere.
+    r = gy.shape[0]
+    wy = _hat_weights(gy, h).reshape(r, s, sr, h).mean(2)  # (R, s, H)
+    wx = _hat_weights(gx, w).reshape(r, s, sr, w).mean(2)  # (R, s, W)
+    wy = wy.astype(feat.dtype)
+    wx = wx.astype(feat.dtype)
+    # The (R, s, spatial, C) intermediate is the HBM-bandwidth bottleneck
     # (the matmuls themselves are cheap): contract the WIDER spatial dim
     # first so it carries the narrower one (ERP charts have W = 2H), and
-    # keep it in the feature dtype (bf16 in the model path) — 4x less
-    # HBM traffic than a float32 W-carrying intermediate.
+    # keep the whole chain in the feature dtype (bf16 in the model path) so
+    # both the intermediate and its backward-pass gradients move half the
+    # bytes of a float32 formulation.
     if w >= h:
         tmp = jnp.einsum("rtw,hwc->rthc", wx, feat,
                          preferred_element_type=feat.dtype)
         out = jnp.einsum("rsh,rthc->rstc", wy, tmp,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=feat.dtype)
     else:
         tmp = jnp.einsum("rsh,hwc->rswc", wy, feat,
                          preferred_element_type=feat.dtype)
         out = jnp.einsum("rtw,rswc->rstc", wx, tmp,
-                         preferred_element_type=jnp.float32)
-    out = out.reshape(-1, s, sr, s, sr, c)
-    return jnp.mean(out, axis=(2, 4)).astype(feat.dtype)
+                         preferred_element_type=feat.dtype)
+    return out.astype(feat.dtype)
 
 
 def multilevel_roi_align(feats: Sequence[jax.Array], rois_xyxy: jax.Array,
