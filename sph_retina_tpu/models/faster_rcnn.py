@@ -237,6 +237,7 @@ class FasterRCNNConfig:
     assign_backend: str = "sph2pob_efficient"
     rpn_nms_iou: float = 0.7
     rpn_nms_pre: int = 1000
+    approx_topk: bool = True  # see DetectorConfig.approx_topk
     # Upper bound on the NMS candidate set across levels: the (k, k) IoU
     # matrix is O(B k^2) HBM, so the per-level top-k survivors are re-ranked
     # globally to this cap before suppression (k=4384 at 512x1024 would
@@ -309,7 +310,10 @@ def rpn_proposals(cfg: FasterRCNNConfig, rpn_cls, rpn_reg):
                 zip(cls_lv, reg_lv, level_anchors)):
             s = jax.nn.sigmoid(logits)
             k = min(cfg.rpn_nms_pre, s.shape[0])
-            top, idx = jax.lax.top_k(s, k)
+            if getattr(cfg, "approx_topk", True) and k < s.shape[0]:
+                top, idx = jax.lax.approx_max_k(s, k, recall_target=0.99)
+            else:
+                top, idx = jax.lax.top_k(s, k)
             boxes = coder.decode(priors[idx], deltas[idx])
             tops.append(top)
             boxes_all.append(boxes)

@@ -127,6 +127,7 @@ class FCOSConfig:
     nms_iou_thr: float = 0.5
     max_per_img: int = 100
     nms_backend: str = "planar"
+    approx_topk: bool = True
 
     def featmap_sizes(self):
         h, w = self.img_size
@@ -278,7 +279,11 @@ def fcos_predict(cfg: FCOSConfig, cls_scores, bbox_preds, centernesses
             n, c = s.shape
             flat = jnp.where(s > cfg.score_thr, s, -1.0).reshape(-1)
             k = min(cfg.nms_pre, n * c)
-            top, idx = jax.lax.top_k(flat, k)
+            if getattr(cfg, "approx_topk", True) and k < n * c:
+                # TPU two-stage reduction (see DetectorConfig.approx_topk)
+                top, idx = jax.lax.approx_max_k(flat, k, recall_target=0.99)
+            else:
+                top, idx = jax.lax.top_k(flat, k)
             pid = idx // c
             labels = (idx % c).astype(jnp.int32)
             boxes = coder.decode(points[pid], reg[pid][:, :4])
