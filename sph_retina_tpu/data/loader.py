@@ -35,6 +35,12 @@ class DataLoader:
     # length, then stride-slice).
     num_shards: int = 1
     shard_id: int = 0
+    # Augmentation-stream seed (reference --diff-seed,
+    # /root/reference/tools/train.py:62-65: per-rank augmentation
+    # randomness). Defaults to ``seed``. Only the per-sample augmentation
+    # rngs use it — the shuffle permutation must stay process-identical so
+    # shards partition the epoch exactly.
+    aug_seed: int | None = None
 
     def __len__(self):
         n = -(-len(self.dataset) // self.num_shards)  # padded shard length
@@ -70,9 +76,10 @@ class DataLoader:
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for bi, batch_idx in enumerate(batches):
+                    aug = self.seed if self.aug_seed is None else self.aug_seed
                     rngs = [
                         np.random.default_rng(
-                            (self.seed, epoch, bi, int(i))
+                            (aug, epoch, bi, int(i))
                         ) for i in batch_idx
                     ]
                     samples = list(pool.map(

@@ -96,6 +96,7 @@ def build_datasets(cfg: dict, split: str = "train", num_shards: int = 1,
         shuffle=split == "train",
         num_workers=cfg["data"].get("workers_per_gpu", 4),
         seed=cfg.get("seed", 0),
+        aug_seed=cfg.get("aug_seed", None),
         drop_last=split == "train",
         num_shards=num_shards,
         shard_id=shard_id,

@@ -155,3 +155,24 @@ def test_native_loader_matches_pil(tmp_path):
                                   IMAGENET_MEAN, IMAGENET_STD)
     assert failed == 1
     assert np.all(batch[1] == 0)
+
+
+def test_diff_seed_changes_aug_not_shuffle():
+    """--diff-seed parity: aug_seed varies the per-sample augmentation
+    streams only; the shuffle permutation (shard partitioning) must stay
+    identical across ranks."""
+    from sph_retina_tpu.data import DataLoader, SphPipeline
+    from sph_retina_tpu.data.loader import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(n_images=8, num_classes=3, img_size=(32, 64))
+    pipe = SphPipeline(img_size=(32, 64), flip_ratio=0.5, max_gt=8,
+                       training=True)
+    mk = lambda aug: DataLoader(ds, pipe, batch_size=4, seed=7, aug_seed=aug,
+                                num_workers=1, prefetch=1)
+    a, b, c = mk(None), mk(7), mk(1007)
+    np.testing.assert_array_equal(a._epoch_indices(0), c._epoch_indices(0))
+    ba = next(iter(a.epoch(0)))["images"]
+    bb = next(iter(b.epoch(0)))["images"]
+    bc = next(iter(c.epoch(0)))["images"]
+    np.testing.assert_array_equal(ba, bb)  # aug_seed defaults to seed
+    assert not np.array_equal(ba, bc)      # different stream -> different aug

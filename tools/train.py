@@ -28,6 +28,12 @@ def parse_args():
     p.add_argument("--resume-from", default=None)
     p.add_argument("--auto-resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--diff-seed", action="store_true",
+                   help="per-rank augmentation streams (seed + rank; "
+                        "reference tools/train.py --diff-seed). Shuffle, "
+                        "init, and the train-step rng stay coordinated — "
+                        "params are replicated, so those must match on "
+                        "every process.")
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="use an in-memory synthetic dataset")
@@ -86,6 +92,8 @@ def main():
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(work_dir, exist_ok=True)
     cfg.setdefault("seed", args.seed)
+    if args.diff_seed:
+        cfg["aug_seed"] = args.seed + rank
 
     family = get_family(cfg)
     model, det_cfg = family.build(cfg)
@@ -101,6 +109,7 @@ def main():
                            box_version=cfg["model"].get("box_version", 4))
         bs = cfg.get("data", {}).get("samples_per_gpu", 4)
         loader = DataLoader(ds, pipe, batch_size=bs, seed=args.seed,
+                            aug_seed=cfg.get("aug_seed"),
                             num_shards=world, shard_id=rank)
         val_loader = DataLoader(ds, pipe, batch_size=bs, shuffle=False,
                                 drop_last=False, seed=args.seed,
