@@ -62,6 +62,63 @@ def bench_iou():
     return N / best
 
 
+def bench_pairwise(n=131072, m=128):
+    """Assignment-shaped pairwise kernel: (n, 4) x (m, 4) -> (n, m)."""
+    from sph_retina_tpu.ops import sph2pob_iou_pairwise_tpu
+
+    b1 = jnp.asarray(generate_boxes(n, 4, seed=3))
+    b2 = jnp.asarray(generate_boxes(m, 4, seed=4))
+
+    @jax.jit
+    def loop(x, y, iters):
+        def body(i, acc):
+            xx = x + i.astype(jnp.float32) * 1e-6
+            return acc + jnp.sum(sph2pob_iou_pairwise_tpu(xx, y))
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(loop(b1, b2, 2))
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        float(loop(b1, b2, iters))
+        return time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(2):
+        t_short, t_long = timed(5), timed(50)
+        best = min(best, (t_long - t_short) / 45)
+    return n * m / best
+
+
+def bench_unbiased(n=1_000_000):
+    """Exact unbiased spherical IoU oracle, n aligned pairs -> seconds."""
+    from sph_retina_tpu.iou import sph_overlaps
+
+    b1 = jnp.asarray(generate_boxes(n, 4, seed=5))
+    b2 = jnp.asarray(generate_boxes(n, 4, seed=6))
+
+    @jax.jit
+    def loop(x, y, iters):
+        def body(i, acc):
+            xx = x + i.astype(jnp.float32) * 1e-6
+            return acc + jnp.sum(sph_overlaps(xx, y, "unbiased",
+                                              is_aligned=True))
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(loop(b1, b2, 1))
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        float(loop(b1, b2, iters))
+        return time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(2):
+        t_short, t_long = timed(2), timed(10)
+        best = min(best, (t_long - t_short) / 8)
+    return best
+
+
 def bench_retinanet(batch=8, h=512, w=1024, max_gt=16, n_timed=10):
     """Train + inference img/s for RetinaNet-R50-FPN BFoV, bf16."""
     from sph_retina_tpu.engine import (
@@ -139,9 +196,15 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_s / 1e6 / BASELINE_MPAIRS_S, 2),
     }
+    extra = {}
+    try:
+        extra["pairwise_131kx128_pairs_per_sec"] = round(bench_pairwise())
+        extra["unbiased_oracle_1m_pairs_seconds"] = round(bench_unbiased(), 4)
+    except Exception as e:
+        extra["kernel_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         train_ips, infer_ips = bench_retinanet()
-        result["extra"] = {
+        extra.update({
             "retinanet_train_imgs_per_sec": round(train_ips, 1),
             "retinanet_train_vs_a100_estimate": round(
                 train_ips / A100_TRAIN_IMGS_S, 2),
@@ -149,9 +212,10 @@ def main():
             "retinanet_infer_vs_a100_estimate": round(
                 infer_ips / A100_INFER_IMGS_S, 2),
             "config": "RetinaNet-R50-FPN BFoV B=8 512x1024 bf16 max_gt=16",
-        }
+        })
     except Exception as e:  # never lose the primary metric to a flaky extra
-        result["extra"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        extra["error"] = f"{type(e).__name__}: {e}"[:200]
+    result["extra"] = extra
     print(json.dumps(result))
 
 
