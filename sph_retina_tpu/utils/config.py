@@ -27,8 +27,7 @@ def _deep_merge(base: dict, override: dict) -> dict:
     return out
 
 
-def load_config(path: str) -> dict:
-    """Load a python config file, resolving `_base_` recursively."""
+def _load(path: str) -> dict:
     ns = runpy.run_path(path)
     cfg = {k: v for k, v in ns.items()
            if not k.startswith("_") and not callable(v)
@@ -38,8 +37,44 @@ def load_config(path: str) -> dict:
         bases = [bases]
     merged: dict = {}
     for b in bases:
-        merged = _deep_merge(merged, load_config(os.path.join(os.path.dirname(path), b)))
+        merged = _deep_merge(merged, _load(os.path.join(os.path.dirname(path), b)))
     return _deep_merge(merged, cfg)
+
+
+def replace_cfg_vals(cfg: dict) -> dict:
+    """Resolve ``${a.b.c}`` references in string values against the config
+    itself (reference ``mmdet/utils/replace_cfg_vals.py``, applied by
+    tools/train.py:118-120 there). A string that is exactly one reference
+    keeps the referenced value's type; embedded references stringify."""
+    import re
+
+    pattern = re.compile(r"\$\{([\w.]+)\}")
+
+    def lookup(dotted: str):
+        node: Any = cfg
+        for p in dotted.split("."):
+            node = node[p]
+        return node
+
+    def walk(v):
+        if isinstance(v, dict):
+            return {k: walk(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return type(v)(walk(x) for x in v)
+        if isinstance(v, str):
+            m = pattern.fullmatch(v)
+            if m:
+                return lookup(m.group(1))
+            return pattern.sub(lambda mm: str(lookup(mm.group(1))), v)
+        return v
+
+    return walk(cfg)
+
+
+def load_config(path: str) -> dict:
+    """Load a python config file: `_base_` composition (depth-first, child
+    wins) + ``${key}`` interpolation over the merged result."""
+    return replace_cfg_vals(_load(path))
 
 
 def apply_overrides(cfg: dict, options: list[str]) -> dict:

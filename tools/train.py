@@ -151,6 +151,10 @@ def main():
     state = replicate_to_mesh(state, mesh)
     print(f"process {rank}/{world}; devices: {len(jax.devices())} "
           f"({len(jax.local_devices())} local); steps/epoch: {len(loader)}")
+    if rank == 0:
+        from sph_retina_tpu.utils.env import env_string
+
+        print(env_string())  # collect_env parity: log the environment
 
     log_cfg = cfg.get("log_config", {})
     logger = MetricLogger(work_dir, enabled=rank == 0,
