@@ -117,3 +117,24 @@ def test_train_resume_test_workflow(tmp_path):
     import glob
     assert glob.glob(str(gal_dir / "good" / "*.png"))
     assert glob.glob(str(gal_dir / "bad" / "*.png"))
+
+
+def test_num_class_mismatch_fails_fast(tmp_path):
+    """NumClassCheckHook parity: a head/dataset class-count mismatch must
+    abort before any training step (reference enables NumClassCheckHook,
+    configs/retinanet/sph_retinanet_r50_fpn_120e_pandora_old.py:17)."""
+    ann, img_dir = write_synthetic_coco(str(tmp_path / "data"), n_images=4,
+                                        num_classes=3, img_size=(64, 128))
+    cfg_path = tmp_path / "cfg.py"
+    bad = CFG_TMPL.format(ann=ann, img=img_dir + "/").replace(
+        "num_classes=3", "num_classes=5")
+    cfg_path.write_text(bad)
+    p = subprocess.run(
+        [sys.executable, "tools/train.py", str(cfg_path),
+         "--work-dir", str(tmp_path / "work"), "--device", "cpu",
+         "--max-epochs", "1"],
+        cwd=REPO, timeout=300, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+        env={**os.environ, "XLA_FLAGS": ""})
+    assert p.returncode != 0
+    assert "num_classes=5" in p.stdout and "3 categories" in p.stdout

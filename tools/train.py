@@ -115,10 +115,19 @@ def main():
                                 drop_last=False, seed=args.seed,
                                 num_shards=world, shard_id=rank)
     else:
-        _, loader = build_datasets(cfg, "train", num_shards=world,
-                                   shard_id=rank)
+        ds, loader = build_datasets(cfg, "train", num_shards=world,
+                                    shard_id=rank)
         _, val_loader = build_datasets(cfg, "val", num_shards=world,
                                        shard_id=rank)
+        # NumClassCheckHook parity (reference
+        # mmdet/core/hook/checkloss_hook.py sibling, enabled in
+        # configs/..._pandora_old.py:17): a head/dataset class-count
+        # mismatch silently corrupts training, so fail fast.
+        if ds.num_classes != cfg["model"]["num_classes"]:
+            raise ValueError(
+                f"model.num_classes={cfg['model']['num_classes']} but the "
+                f"dataset {getattr(ds, 'ann_file', '?')} has "
+                f"{ds.num_classes} categories")
 
     max_epochs = args.max_epochs or cfg.get("runner", {}).get("max_epochs", 120)
     tx = build_tx(cfg, steps_per_epoch=max(len(loader), 1),
