@@ -120,19 +120,24 @@ def bench_unbiased(n=1_000_000):
 
 
 def bench_retinanet(batch=8, h=512, w=1024, max_gt=16, n_timed=10):
-    """Train + inference img/s for RetinaNet-R50-FPN BFoV, bf16."""
-    from sph_retina_tpu.engine import (
-        build_optimizer, create_train_state, make_train_step,
-        step_lr_schedule,
-    )
-    from sph_retina_tpu.engine.evaluator import make_predict_step
-    from sph_retina_tpu.models import SphRetinaNet
-    from sph_retina_tpu.models.single_stage import retina_config, retina_loss
+    """Train + inference img/s for RetinaNet-R50-FPN BFoV, bf16.
 
-    nc = 37  # 360-Indoor
-    cfg = retina_config(nc, img_size=(h, w))
-    model = SphRetinaNet(num_classes=nc, dtype=jnp.bfloat16)
-    tx = build_optimizer(step_lr_schedule(0.005, 100), grad_clip=35.0)
+    Built through the public config path (same model/optimizer the CLI
+    trains, including the reference's frozen_stages=1 stem+layer1 freeze —
+    XLA prunes the frozen backward, so this is the rate real training
+    sustains).
+    """
+    from sph_retina_tpu.engine import create_train_state, make_train_step
+    from sph_retina_tpu.engine.builder import build_tx
+    from sph_retina_tpu.engine.evaluator import make_predict_step
+    from sph_retina_tpu.engine.zoo import get_family
+    from sph_retina_tpu.models.single_stage import retina_loss
+    from sph_retina_tpu.utils.config import load_config
+
+    file_cfg = load_config("configs/sph_retinanet_r50_fpn_120e_indoor360.py")
+    nc = file_cfg["model"]["num_classes"]  # 37, 360-Indoor
+    model, cfg = get_family(file_cfg).build(file_cfg)
+    tx = build_tx(file_cfg, 100)
 
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(rng, (batch, h, w, 3), jnp.float32)
@@ -185,7 +190,41 @@ def bench_retinanet(batch=8, h=512, w=1024, max_gt=16, n_timed=10):
     predict = make_predict_step(model, cfg)
     jax.block_until_ready(predict(variables, images).boxes)
     infer_ips = time_loop(predict, variables, images)
-    return train_ips, infer_ips
+
+    # Device-resident steady state: the whole multi-step loop runs on
+    # device (lax.fori_loop threading the train state / perturbing the
+    # input, accumulating the loss / score sum so no iteration can be
+    # elided), which removes per-step host dispatch entirely — the rate a
+    # prefetched input pipeline sustains. Reported separately from the
+    # host-loop numbers above, which mirror the reference FPS tool's
+    # dispatch-inclusive methodology.
+    @jax.jit
+    def many_train(st, n):
+        def body(i, carry):
+            s0, acc = carry
+            s2, met = step(s0, train_batch)
+            return s2, acc + met["loss"]
+        return jax.lax.fori_loop(0, n, body, (st, 0.0))[1]
+
+    @jax.jit
+    def many_infer(x, n):
+        def body(i, acc):
+            out = predict(variables, x + i.astype(jnp.float32) * 1e-6)
+            return acc + jnp.sum(out.scores.astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    def device_rate(fn, arg):
+        float(fn(arg, 1))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter(); float(fn(arg, 2)); ts = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(fn(arg, 12)); tl = time.perf_counter() - t0
+            best = min(best, (tl - ts) / 10)
+        return batch / best
+
+    train_dev = device_rate(many_train, state)
+    infer_dev = device_rate(many_infer, images)
+    return train_ips, infer_ips, train_dev, infer_dev
 
 
 def main():
@@ -203,7 +242,7 @@ def main():
     except Exception as e:
         extra["kernel_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
-        train_ips, infer_ips = bench_retinanet()
+        train_ips, infer_ips, train_dev, infer_dev = bench_retinanet()
         extra.update({
             "retinanet_train_imgs_per_sec": round(train_ips, 1),
             "retinanet_train_vs_a100_estimate": round(
@@ -211,6 +250,8 @@ def main():
             "retinanet_infer_imgs_per_sec": round(infer_ips, 1),
             "retinanet_infer_vs_a100_estimate": round(
                 infer_ips / A100_INFER_IMGS_S, 2),
+            "retinanet_train_device_steady_imgs_per_sec": round(train_dev, 1),
+            "retinanet_infer_device_steady_imgs_per_sec": round(infer_dev, 1),
             "config": "RetinaNet-R50-FPN BFoV B=8 512x1024 bf16 max_gt=16",
         })
     except Exception as e:  # never lose the primary metric to a flaky extra
