@@ -48,3 +48,71 @@ def test_collect_env_reports_jax():
     info = collect_env()
     assert "jax" in info and "python" in info
     assert "jax:" in env_string(info)
+
+
+def test_all_shipped_configs_build():
+    """Config sanity over every shipped preset (reference
+    tests/test_runtime/test_config.py behavior): each leaf config must
+    load, resolve to a model family, build the model + detector config,
+    generate anchors, and build an optimizer."""
+    import glob
+    import os
+
+    from sph_retina_tpu.engine.builder import build_tx
+    from sph_retina_tpu.engine.zoo import get_family
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.py")))
+    assert len(paths) >= 8
+    for path in paths:
+        cfg = load_config(path)
+        family = get_family(cfg)
+        model, det = family.build(cfg)
+        assert det.num_classes == cfg["model"]["num_classes"], path
+        if hasattr(det, "flat_anchors"):  # anchor-based families
+            anchors = det.flat_anchors()
+            assert anchors.ndim == 2 and anchors.shape[0] > 0, path
+            bv = cfg["model"].get("box_version", 4)
+            assert anchors.shape[1] == bv, path
+        build_tx(cfg, 10)
+
+
+def test_kent_rotated_preset_trains():
+    """The kent_rotated preset (5-dof head, sph2pob_efficient assignment,
+    rotated NMS) runs one train step at a tiny size."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from sph_retina_tpu.engine.builder import build_tx
+    from sph_retina_tpu.engine.train import TrainState
+    from sph_retina_tpu.engine.zoo import get_family, make_generic_train_step
+    from sph_retina_tpu.geometry import generate_boxes
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    cfg = load_config(os.path.join(
+        repo, "configs",
+        "sph_kent_rotated_retinanet_r50_fpn_120e_indoor360.py"))
+    cfg["img_size"] = (64, 128)
+    cfg["model"]["backbone"] = {"depth": 18}
+    cfg["bf16"] = False
+    family = get_family(cfg)
+    model, det = family.build(cfg)
+    tx = build_tx(cfg, 10)
+    B, G = 2, 4
+    images = jax.random.normal(jax.random.PRNGKey(0), (B, 64, 128, 3))
+    v0 = family.init(model, jax.random.PRNGKey(0), images[:1])
+    state = TrainState(jnp.zeros((), jnp.int32), v0["params"],
+                       v0.get("batch_stats", {}), tx.init(v0["params"]))
+    batch = {
+        "images": images,
+        "gt_boxes": jnp.stack([jnp.asarray(generate_boxes(G, 5, seed=i))
+                               for i in range(B)]),
+        "gt_labels": jnp.zeros((B, G), jnp.int32),
+        "gt_mask": jnp.ones((B, G), bool),
+    }
+    step = jax.jit(make_generic_train_step(family, model, det, tx))
+    state2, metrics = step(state, batch)
+    assert jnp.isfinite(metrics["loss"])
+    assert int(state2.step) == 1
