@@ -92,8 +92,11 @@ class MaxIoUAssigner:
         if gt_labels is None:
             labels = jnp.full((n,), -1, jnp.int32)
         else:
+            from ..ops.gather import take_rows  # deferred: avoid cycle
+
             safe_idx = jnp.clip(assigned - 1, 0, g - 1)
-            labels = jnp.where(
-                assigned > 0, gt_labels[safe_idx].astype(jnp.int32), -1
-            )
+            # gt_labels[safe_idx] via one-hot matmul: per-anchor gathers
+            # are the TPU slow path (ops/gather.py).
+            picked = take_rows(gt_labels.astype(jnp.int32), safe_idx)
+            labels = jnp.where(assigned > 0, picked, -1)
         return AssignResult(assigned, max_overlaps, labels)

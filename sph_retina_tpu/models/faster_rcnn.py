@@ -28,6 +28,7 @@ from ..boxes.assigner import MaxIoUAssigner
 from ..boxes.coders import SphBBoxCoder
 from ..boxes.nms import NMSResult, sph_batched_nms
 from ..losses.focal_loss import _bce_with_logits
+from ..ops.gather import take_rows
 from .fpn import FPN
 from .resnet import ResNet
 from .single_stage import _batch_pairwise_iou
@@ -346,7 +347,7 @@ def rpn_loss(cfg: FasterRCNNConfig, rpn_cls, rpn_reg, gt_boxes, gt_mask):
         pos = res.gt_inds > 0
         neg = res.gt_inds == 0
         safe = jnp.clip(res.gt_inds - 1, 0, boxes.shape[0] - 1)
-        targets = coder.encode(anchors, boxes[safe])
+        targets = coder.encode(anchors, take_rows(boxes, safe))
         bce = _bce_with_logits(cls_i, pos.astype(jnp.float32))
         loss_cls = jnp.sum(jnp.where(pos | neg, bce, 0.0))
         l1 = jnp.sum(jnp.abs(reg_i - targets), axis=-1)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..boxes.coders import DistancePointSphBBoxCoder
 from ..boxes.nms import NMSResult, sph_batched_nms
 from ..losses import sigmoid_focal_loss
+from ..ops.gather import take_rows, take_rows_batched
 from ..losses.focal_loss import _bce_with_logits
 from .fpn import FPN
 from .resnet import ResNet
@@ -214,10 +215,11 @@ def fcos_targets(cfg: FCOSConfig, gt_boxes, gt_labels, gt_mask) -> FCOSTargets:
         min_idx = jnp.argmin(cand_areas, axis=-1)          # (P,)
         pos = min_area < INF
 
-        labels_out = jnp.where(pos, labels[min_idx], cfg.num_classes)
-        tgt = jnp.take_along_axis(dists, min_idx[:, None, None], axis=1)[:, 0]
+        labels_out = jnp.where(pos, take_rows(labels, min_idx),
+                               cfg.num_classes)
+        tgt = take_rows_batched(dists, min_idx)
         if cfg.box_version == 5:
-            gamma = boxes[min_idx, 4:5]
+            gamma = take_rows(boxes[:, 4:5], min_idx)
             tgt = jnp.concatenate([tgt, gamma], axis=-1)
         lr = tgt[:, [0, 2]]
         tb = tgt[:, [1, 3]]

@@ -32,6 +32,7 @@ from ..boxes.anchors import SphAnchorGenerator
 from ..boxes.assigner import MaxIoUAssigner
 from ..boxes.coders import SphBBoxCoder
 from ..boxes.nms import NMSResult, sph_batched_nms
+from ..ops.gather import take_rows
 from ..losses import sigmoid_focal_loss
 from .fpn import FPN
 from .heads.retina_head import SphRetinaHead
@@ -173,7 +174,7 @@ def anchor_targets(
         pos = res.gt_inds > 0
         neg = res.gt_inds == 0
         safe = jnp.clip(res.gt_inds - 1, 0, boxes.shape[0] - 1)
-        matched = boxes[safe]                      # (N, D)
+        matched = take_rows(boxes, safe)           # (N, D), ops/gather.py
         if cfg.reg_decoded_bbox:
             targets = matched
         else:

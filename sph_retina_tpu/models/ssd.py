@@ -24,6 +24,7 @@ from ..boxes.anchors import SphSSDAnchorGenerator
 from ..boxes.coders import SphBBoxCoder
 from ..boxes.assigner import MaxIoUAssigner
 from ..boxes.nms import NMSResult, sph_batched_nms
+from ..ops.gather import take_rows
 from .single_stage import _batch_pairwise_iou, _select_level
 from .vgg import SSDNeck, SSDVGG
 
@@ -137,7 +138,7 @@ def ssd_loss(cfg: SSDConfig, cls_scores, bbox_preds, anchors,
         res = assigner(ov, mask, labels)
         pos = res.gt_inds > 0
         safe = jnp.clip(res.gt_inds - 1, 0, boxes.shape[0] - 1)
-        targets = coder.encode(anchors, boxes[safe])
+        targets = coder.encode(anchors, take_rows(boxes, safe))
         labels_out = jnp.where(pos, res.labels, cfg.num_classes)
 
         # CE over classes+bg; per-anchor loss for mining
