@@ -133,10 +133,18 @@ def build_tx(cfg: dict, steps_per_epoch: int, num_devices: int = 1):
     clip = cfg.get("optimizer_config", {}).get("grad_clip")
     frozen = tuple(cfg.get("frozen_prefixes",
                            ("backbone/conv1", "backbone/bn1", "backbone/layer1")))
+    # EMAHook parity: reference configs enable weight averaging via
+    # custom_hooks=[dict(type='EMAHook', momentum=...)]; a bare
+    # ``ema_momentum`` key is also accepted.
+    ema = cfg.get("ema_momentum")
+    for hook in cfg.get("custom_hooks", []) or []:
+        if isinstance(hook, dict) and "EMA" in str(hook.get("type", "")):
+            ema = hook.get("momentum", 0.0002)
     return build_optimizer(
         schedule,
         momentum=opt.get("momentum", 0.9),
         weight_decay=opt.get("weight_decay", 5e-4),
         grad_clip=clip.get("max_norm") if isinstance(clip, dict) else clip,
         frozen_prefixes=frozen,
+        ema_momentum=ema,
     )

@@ -86,6 +86,40 @@ class MetricLogger:
                 pass
 
 
+def memory_report() -> dict:
+    """Host + device memory snapshot (MemoryProfilerHook parity,
+    mmdet/core/hook/memory_profiler_hook.py: virtual memory / process RSS
+    every N iters — here without the psutil dependency, plus what the
+    reference cannot see: per-device HBM in use / peak from PJRT)."""
+    stats = {}
+    try:
+        with open("/proc/meminfo") as f:
+            mem = {line.split(":")[0]: int(line.split()[1])
+                   for line in f if ":" in line}
+        stats["host_available_mb"] = mem.get("MemAvailable", 0) // 1024
+        stats["host_total_mb"] = mem.get("MemTotal", 0) // 1024
+    except OSError:
+        pass
+    try:
+        import resource
+
+        stats["process_rss_mb"] = (
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024)
+    except Exception:
+        pass
+    for i, dev in enumerate(jax.local_devices()):
+        try:
+            ms = dev.memory_stats()
+        except Exception:
+            ms = None
+        if ms:
+            stats[f"device{i}_in_use_mb"] = ms.get("bytes_in_use", 0) >> 20
+            peak = ms.get("peak_bytes_in_use")
+            if peak is not None:
+                stats[f"device{i}_peak_mb"] = peak >> 20
+    return stats
+
+
 class Checkpointer:
     """Orbax wrapper: interval saves, best-metric tracking, resume."""
 
@@ -157,6 +191,7 @@ def run_training(
     eval_fn=None,
     eval_interval: int = 5,
     shard=lambda b: b,
+    memory_interval: int | None = None,
 ):
     """The main loop. ``eval_fn(state) -> dict`` runs on eval epochs."""
     step_count = int(state.step)
@@ -180,6 +215,8 @@ def run_training(
                     raise FloatingPointError(
                         f"loss is NaN at step {step_count}")
                 logger.log(step_count, metrics)
+            if memory_interval and step_count % memory_interval == 0:
+                logger.log(step_count, memory_report(), prefix="memory")
         epoch_time = time.time() - t_epoch
         logger.log(step_count, {"epoch": epoch, "epoch_time": epoch_time},
                    prefix="epoch")

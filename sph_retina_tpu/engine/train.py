@@ -54,18 +54,80 @@ def step_lr_schedule(
     return schedule
 
 
+class EmaState(NamedTuple):
+    """Shadow parameters tracked by :func:`track_params_ema`."""
+
+    ema_params: Any
+
+
+def track_params_ema(momentum: float = 0.0002) -> optax.GradientTransformation:
+    """Keep an exponential moving average of the *post-update* parameters.
+
+    Passes updates through unchanged; the EMA lives inside ``opt_state`` so
+    the TrainState pytree (and every existing orbax checkpoint layout with
+    EMA disabled) is untouched, and checkpoints written with EMA enabled
+    carry the shadow weights automatically. Update rule matches the
+    reference's EMAHook (mmcv, registered via custom_hooks in mmdet
+    configs): ``ema = (1 - momentum) * ema + momentum * param`` — note the
+    mmcv convention where ``momentum`` weights the *new* value.
+    """
+
+    def init(params):
+        return EmaState(jax.tree_util.tree_map(jnp.asarray, params))
+
+    def update(updates, state, params=None):
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e + momentum * (p.astype(e.dtype) - e),
+            state.ema_params, new_params)
+        return updates, EmaState(ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """Extract the EMA shadow params from an opt_state, or None."""
+    found = []
+
+    def visit(node):
+        if isinstance(node, EmaState):
+            found.append(node.ema_params)
+            return
+        if isinstance(node, (tuple, list)):
+            for child in node:
+                visit(child)
+
+    visit(opt_state)
+    return found[0] if found else None
+
+
+def with_ema_params(state: "TrainState") -> "TrainState":
+    """Return ``state`` with params swapped for their EMA shadow (eval/test
+    with averaged weights, as the reference's EMAHook does at eval time)."""
+    ema = get_ema_params(state.opt_state)
+    if ema is None:
+        return state
+    return state._replace(params=jax.tree_util.tree_map(
+        lambda e, p: e.astype(p.dtype), ema, state.params))
+
+
 def build_optimizer(
     schedule: optax.Schedule,
     momentum: float = 0.9,
     weight_decay: float = 5e-4,
     grad_clip: float | None = None,
     frozen_prefixes: tuple = (),
+    ema_momentum: float | None = None,
 ) -> optax.GradientTransformation:
     """SGD+momentum+wd with optional clip and frozen parameter subtrees.
 
     ``frozen_prefixes``: path prefixes (e.g. ('backbone/conv1',
     'backbone/layer1')) whose gradients are zeroed — the reference's
-    ``frozen_stages=1`` (resnet.py config)."""
+    ``frozen_stages=1`` (resnet.py config).
+
+    ``ema_momentum``: when set, track an EMA of the parameters
+    (EMAHook parity; retrieve via :func:`get_ema_params` /
+    :func:`with_ema_params`)."""
     chain = []
     if grad_clip is not None:
         chain.append(optax.clip_by_global_norm(grad_clip))
@@ -87,6 +149,10 @@ def build_optimizer(
         tx = optax.multi_transform(
             {"train": tx, "frozen": optax.set_to_zero()}, label
         )
+    if ema_momentum is not None:
+        # Outside multi_transform so frozen subtrees are tracked too (their
+        # EMA equals the frozen value; harmless, and keeps the tree full).
+        tx = optax.chain(tx, track_params_ema(ema_momentum))
     return tx
 
 

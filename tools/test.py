@@ -26,6 +26,9 @@ def main():
                    help="write padded raw result arrays (input to "
                         "tools/confusion_matrix.py / analyze_results.py)")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--ema", action="store_true",
+                   help="evaluate with EMA shadow weights (EMAHook parity); "
+                        "requires a checkpoint trained with ema_momentum")
     p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a JAX platform (the environment pins the TPU "
                         "plugin; use cpu for smoke tests)")
@@ -84,6 +87,13 @@ def main():
     ckpt = Checkpointer(args.checkpoint)
     state = ckpt.restore(state)
     print(f"loaded checkpoint at step {int(state.step)}")
+    if args.ema:
+        from sph_retina_tpu.engine.train import get_ema_params, with_ema_params
+
+        if get_ema_params(state.opt_state) is None:
+            raise SystemExit("--ema: checkpoint has no EMA state "
+                             "(train with ema_momentum / EMAHook)")
+        state = with_ema_params(state)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     predict = jax.jit(family.predict_fn(model, det_cfg))

@@ -198,6 +198,12 @@ def main():
                 ckpt_interval=(cfg.get("checkpoint_config") or {}).get("interval", 25),
                 eval_fn=eval_fn if cfg.get("evaluation") else None,
                 eval_interval=(cfg.get("evaluation") or {}).get("interval", 5),
+                memory_interval=next(
+                    (h.get("interval", 50)
+                     for h in (cfg.get("custom_hooks") or [])
+                     if isinstance(h, dict)
+                     and "MemoryProfiler" in str(h.get("type", ""))),
+                    cfg.get("memory_interval")),
                 shard=lambda b: make_global_batch(
                     {k: v for k, v in b.items() if k != "img_id"}, mesh),
             )
