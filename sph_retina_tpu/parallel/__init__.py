@@ -16,6 +16,13 @@ from .distributed import (
     replicate_to_mesh,
     sync_global_value,
 )
+from .sharding import (
+    batch_specs,
+    fsdp_spec,
+    make_mesh,
+    shard_batch_spatial,
+    shard_state_fsdp,
+)
 
 __all__ = [
     "init_distributed",
@@ -25,4 +32,9 @@ __all__ = [
     "host_local_copy",
     "all_gather_eval_arrays",
     "sync_global_value",
+    "make_mesh",
+    "batch_specs",
+    "shard_batch_spatial",
+    "fsdp_spec",
+    "shard_state_fsdp",
 ]
