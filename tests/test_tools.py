@@ -93,3 +93,15 @@ def test_eval_metric_offline_rescore(tmp_path):
     m = json.loads(out_json.read_text())
     # classes 0 and 1 perfectly matched at IoU 0.5, class 2 is a pure FP
     assert m["AP50"] > 0.6
+
+
+def test_optimize_anchors(tmp_path):
+    out_dir = tmp_path / "anchor_opt"
+    out = _run(["tools/optimize_anchors.py", _cfg(tmp_path),
+                "--algorithm", "k-means", "--num-anchors", "3",
+                "--iters", "10", "--device", "cpu",
+                "--output-dir", str(out_dir)])
+    assert "optimized anchors (k-means): K=3" in out
+    result = json.loads((out_dir / "anchor_optimize_result.json").read_text())
+    assert len(result["anchors_alpha_beta_deg"]) == 3
+    assert 0.0 < result["avg_best_iou"] <= 1.0
