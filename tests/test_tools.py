@@ -105,3 +105,32 @@ def test_optimize_anchors(tmp_path):
     result = json.loads((out_dir / "anchor_optimize_result.json").read_text())
     assert len(result["anchors_alpha_beta_deg"]) == 3
     assert 0.0 < result["avg_best_iou"] <= 1.0
+
+
+def test_coco_error_analysis(tmp_path):
+    from sph_retina_tpu.engine.analysis import save_raw_results
+
+    det = np.array([[[100, 90, 40, 40], [206, 96, 40, 40],
+                     [40, 90, 40, 40], [120, 20, 30, 30]]], np.float32)
+    arrays = {
+        "boxes": det,
+        "scores": np.array([[0.9, 0.7, 0.8, 0.85]], np.float32),
+        "labels": np.zeros((1, 4), np.int32),
+        "valid": np.ones((1, 4), bool),
+        "gt_boxes": np.array([[[100, 90, 40, 40], [200, 90, 40, 40],
+                               [300, 90, 40, 40], [40, 90, 40, 40]]],
+                             np.float32),
+        "gt_labels": np.array([[0, 0, 0, 1]], np.int32),
+        "gt_mask": np.ones((1, 4), bool),
+        "img_id": np.array([0], np.int64),
+    }
+    raw = tmp_path / "raw.npz"
+    save_raw_results(str(raw), arrays)
+    out_dir = tmp_path / "err"
+    out = _run(["tools/coco_error_analysis.py", _cfg(tmp_path), str(raw),
+                str(out_dir), "--backend", "sph2pob_efficient",
+                "--device", "cpu"])
+    assert "mean AP per error rung" in out
+    assert (out_dir / "bbox-allclass-allarea.png").exists()
+    summary = json.loads((out_dir / "error_analysis.json").read_text())
+    assert summary["FN"] == 1.0 and summary["C75"] <= summary["C50"]
