@@ -73,7 +73,13 @@ def init_detector(config, checkpoint: str | None = None,
     h, w = cfg.get("img_size", (512, 1024))
     variables = family.init(model, jax.random.PRNGKey(seed),
                             jnp.zeros((1, h, w, 3)))
-    if checkpoint:
+    if checkpoint and checkpoint.endswith(".npz"):
+        # published single-file checkpoint (tools/publish_model.py)
+        from .utils.publish import load_published
+
+        params, batch_stats, _ = load_published(checkpoint)
+        variables = {"params": params, "batch_stats": batch_stats}
+    elif checkpoint:
         tx = build_tx(cfg, steps_per_epoch=1)
         state = TrainState(jnp.zeros((), jnp.int32), variables["params"],
                            variables.get("batch_stats", {}),

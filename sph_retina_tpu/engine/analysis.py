@@ -85,6 +85,67 @@ def per_image_scores(
     return out
 
 
+def occluded_separated_recall(
+    arrays: dict,
+    *,
+    score_thr: float = 0.3,
+    iou_thr: float = 0.75,
+    occ_iou_thr: float = 0.1,
+    backend: str = "sph2pob_efficient",
+) -> dict:
+    """Recall on hard GT subsets, adapted to spherical boxes.
+
+    The reference tool (/root/reference/tools/analysis_tools/
+    coco_occluded_separated_recall.py, arXiv:2210.10046) measures recall on
+    mask-occluded and mask-separated COCO instances and is explicitly
+    instance-segmentation-only. The spherical-box adaptation keeps the
+    intent — recall on the two structurally hard subsets — with box-native
+    definitions:
+
+    - **occluded**: a GT whose spherical IoU with another GT in the same
+      image is >= ``occ_iou_thr`` (object overlapped by another object);
+    - **separated**: a GT whose ERP footprint crosses the theta=0/360 seam
+      (theta ± alpha/2 wraps), i.e. the object is drawn in two separated
+      pixel fragments — the panoramic analogue of a separated mask.
+
+    A GT counts as recalled when some same-class detection with score >=
+    ``score_thr`` has spherical IoU >= ``iou_thr`` with it (the reference's
+    score/IoU thresholds, defaults 0.3/0.75).
+    """
+    counts = {"occluded": [0, 0], "separated": [0, 0], "all": [0, 0]}
+    n = arrays["boxes"].shape[0]
+    for i in range(n):
+        det_boxes, scores, det_labels, gt_boxes, gt_labels = _unpack(arrays, i)
+        keep = scores >= score_thr
+        det_boxes, det_labels = det_boxes[keep], det_labels[keep]
+        g = len(gt_boxes)
+        if g == 0:
+            continue
+        gg = np.array(_pairwise_iou_np(gt_boxes, gt_boxes, backend)) \
+            if g > 1 else np.zeros((1, 1))
+        np.fill_diagonal(gg, 0.0)
+        occluded = gg.max(axis=1) >= occ_iou_thr if g > 1 else \
+            np.zeros(g, bool)
+        half = gt_boxes[:, 2] / 2.0
+        separated = (gt_boxes[:, 0] - half < 0.0) | \
+            (gt_boxes[:, 0] + half > 360.0)
+        if len(det_boxes):
+            iou = _pairwise_iou_np(det_boxes, gt_boxes, backend)
+            same = det_labels[:, None] == gt_labels[None, :]
+            recalled = ((iou >= iou_thr) & same).any(axis=0)
+        else:
+            recalled = np.zeros(g, bool)
+        for name, mask in (("occluded", occluded), ("separated", separated),
+                           ("all", np.ones(g, bool))):
+            counts[name][0] += int(recalled[mask].sum())
+            counts[name][1] += int(mask.sum())
+    out = {}
+    for name, (rec, tot) in counts.items():
+        out[f"{name}_recall"] = rec / tot if tot else float("nan")
+        out[f"{name}_total"] = tot
+    return out
+
+
 def save_raw_results(path: str, arrays: dict) -> None:
     np.savez_compressed(path, **arrays)
 

@@ -1,0 +1,115 @@
+"""Published checkpoints + dataset converter utilities.
+
+Parity: tools/model_converters/publish_model.py, tools/misc/split_coco.py,
+tools/dataset_converters/images2coco.py, tools/misc/get_image_metas.py in
+the reference.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+from utils.synthetic_coco import write_synthetic_coco  # noqa: E402
+
+from sph_retina_tpu.utils.publish import (  # noqa: E402
+    load_published,
+    save_published,
+)
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _run(args, timeout=600):
+    p = subprocess.run(
+        [sys.executable] + args, cwd=REPO, timeout=timeout,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env={**os.environ, "XLA_FLAGS": ""})
+    assert p.returncode == 0, p.stdout[-4000:]
+    return p.stdout
+
+
+def test_publish_roundtrip(tmp_path):
+    params = {"backbone": {"conv1": {"kernel": np.ones((3, 3, 3, 8),
+                                                       np.float32)}},
+              "head": {"bias": np.arange(4, dtype=np.float32)}}
+    stats = {"bn": {"mean": np.zeros(8, np.float32)}}
+    final = save_published(str(tmp_path / "model.npz"), params, stats,
+                           meta={"step": 7})
+    assert os.path.exists(final) and "-" in os.path.basename(final)
+    p2, s2, meta = load_published(final)
+    assert meta["step"] == 7
+    np.testing.assert_array_equal(p2["backbone"]["conv1"]["kernel"],
+                                  params["backbone"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(p2["head"]["bias"], params["head"]["bias"])
+    np.testing.assert_array_equal(s2["bn"]["mean"], stats["bn"]["mean"])
+    # hash suffix is stable for identical content
+    final2 = save_published(str(tmp_path / "model2.npz"), params, stats,
+                            meta={"step": 7})
+    assert final.split("-")[-1] == final2.split("-")[-1]
+
+
+def test_init_detector_accepts_published_npz(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from sph_retina_tpu.apis import init_detector
+    from sph_retina_tpu.engine.zoo import get_family
+
+    cfg = {"model": {"type": "SphRetinaNet", "num_classes": 3,
+                     "backbone": {"depth": 18}},
+           "img_size": (64, 128), "bf16": False}
+    family = get_family(cfg)
+    model, _ = family.build(cfg)
+    variables = family.init(model, jax.random.PRNGKey(3),
+                            jnp.zeros((1, 64, 128, 3)))
+    final = save_published(str(tmp_path / "pub.npz"),
+                           jax.tree_util.tree_map(np.asarray,
+                                                  variables["params"]),
+                           jax.tree_util.tree_map(
+                               np.asarray, variables.get("batch_stats", {})))
+    det = init_detector(cfg, checkpoint=final)
+    leaf = jax.tree_util.tree_leaves(det.variables["params"])[0]
+    ref = jax.tree_util.tree_leaves(variables["params"])[0]
+    np.testing.assert_array_equal(np.asarray(leaf), np.asarray(ref))
+
+
+def test_split_coco(tmp_path):
+    ann, _ = write_synthetic_coco(str(tmp_path / "d"), n_images=10,
+                                  num_classes=3)
+    out = _run(["tools/split_coco.py", ann, str(tmp_path / "splits"),
+                "--labeled-percent", "20", "--fold", "2"])
+    files = sorted(os.listdir(tmp_path / "splits"))
+    assert len(files) == 4  # 2 folds x (labeled + unlabeled)
+    lab = json.loads((tmp_path / "splits" /
+                      "instances_train.1@20.json").read_text())
+    unlab = json.loads((tmp_path / "splits" /
+                        "instances_train.1@20-unlabeled.json").read_text())
+    assert len(lab["images"]) == 2 and len(unlab["images"]) == 8
+    assert unlab["annotations"] == []
+    lab_ids = {im["id"] for im in lab["images"]}
+    assert all(a["image_id"] in lab_ids for a in lab["annotations"])
+    assert out.count(".json") == 4
+
+
+def test_images2coco_and_get_image_metas(tmp_path):
+    _, img_dir = write_synthetic_coco(str(tmp_path / "d"), n_images=3,
+                                      num_classes=2)
+    classes = tmp_path / "classes.txt"
+    classes.write_text("toilet\nperson\n")
+    out_json = tmp_path / "unlabeled.json"
+    _run(["tools/images2coco.py", img_dir, str(classes), str(out_json)])
+    coco = json.loads(out_json.read_text())
+    assert len(coco["images"]) == 3 and coco["annotations"] == []
+    assert [c["name"] for c in coco["categories"]] == ["toilet", "person"]
+    assert coco["images"][0]["width"] == 128
+
+    metas_path = tmp_path / "metas.json"
+    _run(["tools/get_image_metas.py", "--ann-file", str(out_json),
+          "--img-prefix", img_dir, "--out", str(metas_path)])
+    metas = json.loads(metas_path.read_text())
+    assert len(metas) == 3
+    assert metas[0]["width"] == 128 and metas[0]["height"] == 64
