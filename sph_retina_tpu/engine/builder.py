@@ -67,10 +67,13 @@ def build_detector_config(cfg: dict) -> DetectorConfig:
 def build_model(cfg: dict):
     m = cfg["model"]
     dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
+    bb = m.get("backbone", {})
     return SphRetinaNet(
         num_classes=m["num_classes"],
         box_version=m.get("box_version", 4),
-        depth=m.get("backbone", {}).get("depth", 50),
+        depth=bb.get("depth", 50),
+        groups=bb.get("groups", 1),
+        base_width=bb.get("base_width", 64),
         dtype=dtype,
     )
 

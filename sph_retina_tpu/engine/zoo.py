@@ -28,10 +28,14 @@ from .train import TrainState
 
 def _common(cfg_dict):
     m = cfg_dict["model"]
+    bb = m.get("backbone", {})
     return dict(
         num_classes=m["num_classes"],
         box_version=m.get("box_version", 4),
         img_size=tuple(cfg_dict.get("img_size", (512, 1024))),
+        backbone=dict(depth=bb.get("depth", 50),
+                      groups=bb.get("groups", 1),
+                      base_width=bb.get("base_width", 64)),
     )
 
 
@@ -80,7 +84,8 @@ class FCOSFamily:
         c = _common(cfg_dict)
         dtype = jnp.bfloat16 if cfg_dict.get("bf16", True) else jnp.float32
         model = SphFCOS(num_classes=c["num_classes"],
-                        box_version=c["box_version"], dtype=dtype)
+                        box_version=c["box_version"], dtype=dtype,
+                        **c["backbone"])
         return model, fcos_config(c["num_classes"], img_size=c["img_size"],
                                   box_version=c["box_version"])
 
@@ -150,7 +155,8 @@ class FasterRCNNFamily:
         c = _common(cfg_dict)
         dtype = jnp.bfloat16 if cfg_dict.get("bf16", True) else jnp.float32
         model = SphFasterRCNN(num_classes=c["num_classes"],
-                              box_version=c["box_version"], dtype=dtype)
+                              box_version=c["box_version"], dtype=dtype,
+                              **c["backbone"])
         return model, frcnn.faster_rcnn_config(
             c["num_classes"], img_size=c["img_size"],
             box_version=c["box_version"])

@@ -91,9 +91,13 @@ class SphFasterRCNN(nn.Module):
     box_version: int = 4
     depth: int = 50
     dtype: Any = jnp.bfloat16
+    groups: int = 1
+    base_width: int = 64
 
     def setup(self):
-        self.backbone = ResNet(depth=self.depth, dtype=self.dtype)
+        self.backbone = ResNet(depth=self.depth, dtype=self.dtype,
+                               groups=self.groups,
+                               base_width=self.base_width)
         self.neck = FPN(out_channels=256, start_level=0, num_outs=5,
                         add_extra_convs="on_output", dtype=self.dtype)
         self.rpn_head = SphRPNHead(box_version=self.box_version,

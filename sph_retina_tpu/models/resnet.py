@@ -83,18 +83,23 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.bfloat16
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x):
+        # torchvision width rule: ResNeXt widens the inner convs
+        # (e.g. groups=32, base_width=4 -> width = planes*2)
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+        out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
         out = FrozenBatchNorm(self.dtype, name="bn1")(out)
         out = nn.relu(out)
         # 'pytorch' style: stride on the 3x3
-        out = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
+        out = nn.Conv(width, (3, 3), (self.stride, self.stride),
                       padding=1, use_bias=False, dtype=self.dtype,
-                      name="conv2")(out)
+                      feature_group_count=self.groups, name="conv2")(out)
         out = FrozenBatchNorm(self.dtype, name="bn2")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
@@ -109,16 +114,28 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """ResNet with multi-level outputs, NHWC in/out."""
+    """ResNet / ResNeXt with multi-level outputs, NHWC in/out.
+
+    ``groups``/``base_width`` select the ResNeXt variants used by the
+    reference's X101 configs (mmdet ``ResNeXt(groups=32, base_width=4)``,
+    torchvision ``resnext50_32x4d``/``resnext101_32x8d``/``_64x4d`` —
+    bottleneck-only, same state-dict naming so the weight port applies
+    unchanged)."""
 
     depth: int = 50
     out_indices: Sequence[int] = (0, 1, 2, 3)
     dtype: Any = jnp.bfloat16
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x):
         block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
         block = Bottleneck if block_kind == "bottleneck" else BasicBlock
+        if block_kind != "bottleneck" and (self.groups != 1
+                                           or self.base_width != 64):
+            raise ValueError("groups/base_width require a bottleneck depth "
+                             "(>= 50)")
         x = jnp.asarray(x, self.dtype)
         x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
@@ -133,8 +150,10 @@ class ResNet(nn.Module):
             for b in range(n_blocks):
                 expansion = 4 if block_kind == "bottleneck" else 1
                 need_down = b == 0 and (stride != 1 or x.shape[-1] != planes * expansion)
+                kw = {"groups": self.groups, "base_width": self.base_width} \
+                    if block is Bottleneck else {}
                 x = block(planes, stride if b == 0 else 1, need_down,
-                          self.dtype, name=f"layer{stage + 1}_{b}")(x)
+                          self.dtype, name=f"layer{stage + 1}_{b}", **kw)(x)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2

@@ -48,11 +48,14 @@ class SphRetinaNet(nn.Module):
     feat_channels: int = 256
     num_base_priors: int = 9
     dtype: Any = jnp.bfloat16
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, images: jax.Array):
         feats = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
-                       dtype=self.dtype, name="backbone")(images)
+                       dtype=self.dtype, groups=self.groups,
+                       base_width=self.base_width, name="backbone")(images)
         feats = FPN(out_channels=self.feat_channels, start_level=1,
                     num_outs=5, add_extra_convs="on_input", dtype=self.dtype,
                     name="neck")(feats)

@@ -116,3 +116,16 @@ def test_kent_rotated_preset_trains():
     state2, metrics = step(state, batch)
     assert jnp.isfinite(metrics["loss"])
     assert int(state2.step) == 1
+
+
+def test_x101_config_threads_resnext_backbone():
+    """backbone groups/base_width reach the model (ResNeXt support)."""
+    import os
+
+    from sph_retina_tpu.engine.zoo import get_family
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    cfg = load_config(os.path.join(
+        repo, "configs", "sph_retinanet_x101_32x4d_fpn_120e_indoor360.py"))
+    model, _ = get_family(cfg).build(cfg)
+    assert (model.depth, model.groups, model.base_width) == (101, 32, 4)

@@ -213,3 +213,74 @@ def test_vgg16_port_matches_torch_forward():
     f = inter["intermediates"]["conv4_3"]["__call__"][0]
     np.testing.assert_allclose(
         t.numpy().transpose(0, 2, 3, 1), np.asarray(f), rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------- resnext50_32x4d
+class TVResNeXtBottleneck(tnn.Module):
+    """torchvision Bottleneck with groups/base_width (ResNeXt variant)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None,
+                 groups=32, base_width=4):
+        super().__init__()
+        width = int(planes * (base_width / 64.0)) * groups
+        self.conv1 = tnn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, groups=groups,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    forward = TVBottleneck.forward
+
+
+class TVResNeXt50(tnn.Module):
+    """torchvision.models.resnext50_32x4d topology + state_dict naming."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU(inplace=True)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        self.inplanes = 64
+        self.layer1 = self._make_layer(64, 3, 1)
+        self.layer2 = self._make_layer(128, 4, 2)
+        self.layer3 = self._make_layer(256, 6, 2)
+        self.layer4 = self._make_layer(512, 3, 2)
+
+    def _make_layer(self, planes, blocks, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = tnn.Sequential(
+                tnn.Conv2d(self.inplanes, planes * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+        layers = [TVResNeXtBottleneck(self.inplanes, planes, stride,
+                                      downsample)]
+        self.inplanes = planes * 4
+        layers += [TVResNeXtBottleneck(self.inplanes, planes)
+                   for _ in range(blocks - 1)]
+        return tnn.Sequential(*layers)
+
+    forward = TVResNet50.forward
+
+
+def test_resnext50_port_matches_torch_forward():
+    torch.manual_seed(3)
+    tv = TVResNeXt50().eval()
+    _randomize_bn_stats(tv, seed=3)
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    variables = port_torchvision_weights(sd, depth=50)
+
+    x = np.random.default_rng(4).standard_normal((2, 64, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        torch_outs = tv(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    model = ResNet(depth=50, groups=32, base_width=4, dtype=jnp.float32)
+    flax_outs = model.apply(variables, jnp.asarray(x))
+    for t, f in zip(torch_outs, flax_outs):
+        np.testing.assert_allclose(
+            t.numpy().transpose(0, 2, 3, 1), np.asarray(f),
+            rtol=1e-4, atol=1e-4)
