@@ -34,7 +34,8 @@ from .anchors import SphAnchorGenerator, SphSSDAnchorGenerator
 from .coders import DistancePointSphBBoxCoder, SphBBoxCoder
 from .assigner import AssignResult, MaxIoUAssigner
 from .sampler import RandomSampler, SampleResult, pseudo_sample
-from .nms import NMSResult, planar_batched_nms, sph_batched_nms
+from .nms import (NMSResult, planar_batched_nms, sph_batched_nms,
+                  sph_batched_soft_nms)
 
 __all__ += [
     "SphAnchorGenerator",
@@ -49,4 +50,5 @@ __all__ += [
     "NMSResult",
     "planar_batched_nms",
     "sph_batched_nms",
+    "sph_batched_soft_nms",
 ]

@@ -140,3 +140,80 @@ def planar_batched_nms(boxes, scores, idxs, **kwargs) -> NMSResult:
     """PlanarNMS parity: chart-space suppression, spherical boxes returned."""
     kwargs["backend"] = "planar"
     return sph_batched_nms(boxes, scores, idxs, **kwargs)
+
+
+def sph_batched_soft_nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    idxs: jax.Array,
+    *,
+    iou_threshold: float = 0.3,
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+    method: str = "linear",
+    max_num: int = 100,
+    nms_pre: int = 1000,
+    backend: str = "sph2pob_efficient",
+    class_agnostic: bool = False,
+    valid_mask: jax.Array | None = None,
+) -> NMSResult:
+    """Soft-NMS with a spherical (or planar-chart) IoU backend.
+
+    Reference capability: mmcv ``soft_nms`` selected by the shipped preset
+    /root/reference/configs/faster_rcnn/faster_rcnn_r50_fpn_soft_nms_1x_coco.py:11
+    (``nms=dict(type='soft_nms', iou_threshold=0.5)``). Instead of removing
+    overlapping boxes, each picked box decays the scores of its overlaps —
+    ``linear``: ``s *= 1 - iou`` where ``iou > iou_threshold``;
+    ``gaussian``: ``s *= exp(-iou^2 / sigma)`` (Bodla et al., ICCV 2017).
+
+    TPU form: soft-NMS is sequential in the decayed-score order, but only
+    the first ``max_num`` picks can appear in the output (every pick's
+    score is frozen at pick time and scores only ever decrease), so an
+    exact ``fori_loop`` of ``max_num`` argmax+decay sweeps over the (k,)
+    score vector suffices — no data-dependent shapes.
+    """
+    n = boxes.shape[0]
+    k = min(nms_pre, n)
+    s = scores if valid_mask is None else jnp.where(valid_mask, scores, NEG_INF)
+
+    top_scores, order = jax.lax.top_k(s, k)
+    top_boxes = boxes[order]
+    top_idxs = idxs[order]
+
+    iou = _pairwise_iou(top_boxes, backend)
+    if not class_agnostic:
+        same = top_idxs[:, None] == top_idxs[None, :]
+        iou = jnp.where(same, iou, 0.0)
+    iou = iou * (1.0 - jnp.eye(k))  # a box never decays itself
+
+    if method == "linear":
+        decay = jnp.where(iou > iou_threshold, 1.0 - iou, 1.0)
+    elif method == "gaussian":
+        decay = jnp.exp(-(iou * iou) / sigma)
+    else:
+        raise ValueError(f"soft-NMS method {method!r}")
+
+    m = min(max_num, k)
+    live = jnp.where(top_scores > NEG_INF / 2, top_scores, NEG_INF)
+
+    def body(i, carry):
+        live, out_sel, out_scores = carry
+        j = jnp.argmax(live)
+        sj = live[j]
+        out_sel = out_sel.at[i].set(j)
+        out_scores = out_scores.at[i].set(sj)
+        live = live * jnp.where(sj > NEG_INF / 2, decay[j], 1.0)
+        live = live.at[j].set(NEG_INF)
+        return live, out_sel, out_scores
+
+    _, sel, final_scores = jax.lax.fori_loop(
+        0, m, body,
+        (live, jnp.zeros((m,), jnp.int32), jnp.full((m,), NEG_INF)))
+    valid = final_scores > jnp.maximum(min_score, NEG_INF / 2)
+    return NMSResult(
+        boxes=top_boxes[sel],
+        scores=jnp.where(valid, final_scores, 0.0),
+        labels=jnp.where(valid, top_idxs[sel], -1).astype(jnp.int32),
+        inds=order[sel],
+        valid=valid,
+    )

@@ -61,6 +61,10 @@ def build_detector_config(cfg: dict) -> DetectorConfig:
         nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
         max_per_img=test_cfg.get("max_per_img", 100),
         nms_backend=test_cfg.get("iou_calculator", "planar"),
+        nms_type=test_cfg.get("nms", {}).get("type", "nms"),
+        soft_method=test_cfg.get("nms", {}).get("method", "linear"),
+        soft_sigma=test_cfg.get("nms", {}).get("sigma", 0.5),
+        soft_min_score=test_cfg.get("nms", {}).get("min_score", 1e-3),
     )
 
 

@@ -157,9 +157,18 @@ class FasterRCNNFamily:
         model = SphFasterRCNN(num_classes=c["num_classes"],
                               box_version=c["box_version"], dtype=dtype,
                               **c["backbone"])
+        nms = cfg_dict.get("test_cfg", {}).get("nms", {})
+        sampler = cfg_dict.get("train_cfg", {}).get("sampler", {})
+        sampler_type = {"OHEMSampler": "ohem", "ohem": "ohem"}.get(
+            sampler.get("type", "random"), "random")
         return model, frcnn.faster_rcnn_config(
             c["num_classes"], img_size=c["img_size"],
-            box_version=c["box_version"])
+            box_version=c["box_version"],
+            sampler_type=sampler_type,
+            nms_type=nms.get("type", "nms"),
+            soft_method=nms.get("method", "linear"),
+            soft_sigma=nms.get("sigma", 0.5),
+            soft_min_score=nms.get("min_score", 1e-3))
 
     @staticmethod
     def init(model, rng, x):
@@ -172,9 +181,25 @@ class FasterRCNNFamily:
             losses = frcnn.rpn_loss(cfg, rpn_cls, rpn_reg, batch["gt_boxes"],
                                     batch["gt_mask"])
             props, _, pvalid = frcnn.rpn_proposals(cfg, rpn_cls, rpn_reg)
+
+            hardness_fn = None
+            if cfg.sampler_type == "ohem":
+                # no-grad head forward on every candidate; per-roi CE vs the
+                # assigned label ranks hardness (OHEMSampler.hard_mining)
+                def hardness_fn(cand, labels_full):
+                    rf = frcnn.roi_features(cfg, feats, cand)
+                    logits, _ = model.apply(
+                        variables, rf.reshape(-1, 7, 7, rf.shape[-1]),
+                        method=SphFasterRCNN.roi)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    ce = -jnp.take_along_axis(
+                        logp, labels_full.reshape(-1, 1), axis=-1)[:, 0]
+                    return ce.reshape(labels_full.shape)
+
             t = frcnn.sample_rois(
                 cfg, rng, jax.lax.stop_gradient(props), pvalid,
-                batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+                batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+                hardness_fn=hardness_fn)
             rf = frcnn.roi_features(cfg, feats, t.rois)
             cls, reg = model.apply(
                 variables, rf.reshape(-1, 7, 7, rf.shape[-1]),

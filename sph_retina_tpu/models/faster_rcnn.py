@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..boxes.assigner import MaxIoUAssigner
 from ..boxes.coders import SphBBoxCoder
-from ..boxes.nms import NMSResult, sph_batched_nms
+from ..boxes.nms import NMSResult, sph_batched_nms, sph_batched_soft_nms
 from ..losses.focal_loss import _bce_with_logits
 from ..ops.gather import take_rows
 from .fpn import FPN
@@ -239,6 +239,7 @@ class FasterRCNNConfig:
     num_proposals: int = 512       # kept per image after RPN NMS
     num_rois: int = 256            # sampled rois per image for training
     pos_fraction: float = 0.25
+    sampler_type: str = "random"   # "random" | "ohem" (hard-example mining)
     assign_backend: str = "sph2pob_efficient"
     rpn_nms_iou: float = 0.7
     rpn_nms_pre: int = 1000
@@ -252,6 +253,13 @@ class FasterRCNNConfig:
     nms_iou_thr: float = 0.5
     max_per_img: int = 100
     nms_backend: str = "planar"
+    # rcnn nms=dict(type='soft_nms') — reference preset
+    # faster_rcnn_r50_fpn_soft_nms_1x_coco.py:11 (final detections only,
+    # RPN keeps hard suppression as there)
+    nms_type: str = "nms"
+    soft_method: str = "linear"
+    soft_sigma: float = 0.5
+    soft_min_score: float = 1e-3
 
     def anchor_generator(self):
         return SphAnchorGenerator(strides=list(self.strides),
@@ -373,8 +381,17 @@ class RoITargets(NamedTuple):
 
 
 def sample_rois(cfg: FasterRCNNConfig, rng, proposals, prop_valid,
-                gt_boxes, gt_labels, gt_mask) -> RoITargets:
-    """Assign + subsample proposals (gt boxes appended as proposals)."""
+                gt_boxes, gt_labels, gt_mask,
+                hardness_fn=None) -> RoITargets:
+    """Assign + subsample proposals (gt boxes appended as proposals).
+
+    ``hardness_fn(cand (B,K,D), labels (B,K)) -> (B,K)`` enables OHEM
+    (reference ``OHEMSampler.hard_mining``,
+    /root/reference/mmdet/core/bbox/samplers/ohem_sampler.py:10-61 and the
+    shipped preset faster_rcnn_r50_fpn_ohem_1x_coco.py): candidates are
+    ranked by per-roi loss from a no-grad head forward instead of a random
+    priority, and the hardest positives/negatives are kept.
+    """
     coder = cfg.rcnn_coder()
     assigner = cfg.rcnn_assigner()
     b, g = gt_boxes.shape[:2]
@@ -393,15 +410,29 @@ def sample_rois(cfg: FasterRCNNConfig, rng, proposals, prop_valid,
     num_pos_max = int(cfg.num_rois * cfg.pos_fraction)
     num_neg_max = cfg.num_rois - num_pos_max
 
-    def single(r, ov, cands, cvalid, boxes, labels, mask):
+    def assign(ov, cvalid, labels, mask):
         ov = jnp.where(cvalid[None, :], ov, -1.0)
         res = assigner(ov, mask, labels)
         pos = (res.gt_inds > 0) & cvalid
         neg = (res.gt_inds == 0) & cvalid
+        full_labels = jnp.where(pos, res.labels, cfg.num_classes)
+        return res.gt_inds, pos, neg, full_labels.astype(jnp.int32)
+
+    gt_inds, pos_m, neg_m, full_labels = jax.vmap(assign)(
+        overlaps, cand_valid, gt_labels, gt_mask)
+
+    # OHEM: rank candidates by their (no-grad) loss instead of randomly
+    hardness = None
+    if hardness_fn is not None:
+        hardness = jax.lax.stop_gradient(hardness_fn(cand, full_labels))
+
+    def single(r, cands, gti, pos, neg, flabels, boxes, hard):
         r1, r2 = jax.random.split(r)
 
         def pick(rr, m, k):
-            prio = jnp.where(m, jax.random.uniform(rr, m.shape), -1.0)
+            prio = hard if hard is not None else \
+                jax.random.uniform(rr, m.shape)
+            prio = jnp.where(m, prio, -jnp.inf)
             _, idx = jax.lax.top_k(prio, k)
             keep = jnp.take(m, idx)
             return idx, keep
@@ -414,15 +445,15 @@ def sample_rois(cfg: FasterRCNNConfig, rng, proposals, prop_valid,
             [pos_keep, jnp.zeros_like(neg_keep)])
 
         rois = cands[idx]
-        safe = jnp.clip(res.gt_inds[idx] - 1, 0, boxes.shape[0] - 1)
+        safe = jnp.clip(gti[idx] - 1, 0, boxes.shape[0] - 1)
         matched = boxes[safe]
         reg_t = coder.encode(rois, matched)
-        lab = jnp.where(pos_sel, res.labels[idx], cfg.num_classes)
+        lab = jnp.where(pos_sel, flabels[idx], cfg.num_classes)
         return rois, lab.astype(jnp.int32), reg_t, keep.astype(jnp.float32), pos_sel
 
     rngs = jax.random.split(rng, b)
     rois, labels, reg_t, w, pos = jax.vmap(single)(
-        rngs, overlaps, cand, cand_valid, gt_boxes, gt_labels, gt_mask)
+        rngs, cand, gt_inds, pos_m, neg_m, full_labels, gt_boxes, hardness)
     return RoITargets(rois, labels, reg_t, w, pos)
 
 
@@ -465,6 +496,13 @@ def rcnn_predict(cfg: FasterRCNNConfig, cls_logits, reg_pred, rois,
         top, idx = jax.lax.top_k(flat, k)
         box_idx = idx // c
         labels = (idx % c).astype(jnp.int32)
+        if cfg.nms_type == "soft_nms":
+            return sph_batched_soft_nms(
+                boxes[box_idx], top, labels,
+                iou_threshold=cfg.nms_iou_thr, sigma=cfg.soft_sigma,
+                min_score=cfg.soft_min_score, method=cfg.soft_method,
+                max_num=cfg.max_per_img, nms_pre=k,
+                backend=cfg.nms_backend, valid_mask=top > 0)
         return sph_batched_nms(
             boxes[box_idx], top, labels,
             iou_threshold=cfg.nms_iou_thr, max_num=cfg.max_per_img,

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..boxes.anchors import SphAnchorGenerator
 from ..boxes.assigner import MaxIoUAssigner
 from ..boxes.coders import SphBBoxCoder
-from ..boxes.nms import NMSResult, sph_batched_nms
+from ..boxes.nms import NMSResult, sph_batched_nms, sph_batched_soft_nms
 from ..ops.gather import take_rows
 from ..losses import sigmoid_focal_loss
 from .fpn import FPN
@@ -92,6 +92,12 @@ class DetectorConfig:
     nms_iou_thr: float = 0.5
     max_per_img: int = 100
     nms_backend: str = "planar"
+    # nms=dict(type='soft_nms', ...) selects score-decay suppression
+    # (reference preset faster_rcnn_r50_fpn_soft_nms_1x_coco.py:11)
+    nms_type: str = "nms"
+    soft_method: str = "linear"
+    soft_sigma: float = 0.5
+    soft_min_score: float = 1e-3
     # focal loss
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
@@ -281,6 +287,18 @@ def retina_predict(
         priors = jnp.concatenate([p[3] for p in parts])
         valid = jnp.concatenate([p[4] for p in parts])
         boxes = cfg.bbox_coder.decode(priors, deltas)
+        if cfg.nms_type == "soft_nms":
+            return sph_batched_soft_nms(
+                boxes, top, labels,
+                iou_threshold=cfg.nms_iou_thr,
+                sigma=cfg.soft_sigma,
+                min_score=cfg.soft_min_score,
+                method=cfg.soft_method,
+                max_num=cfg.max_per_img,
+                nms_pre=cfg.nms_pre,
+                backend=cfg.nms_backend,
+                valid_mask=valid,
+            )
         return sph_batched_nms(
             boxes, top, labels,
             iou_threshold=cfg.nms_iou_thr,

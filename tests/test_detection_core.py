@@ -300,3 +300,77 @@ def test_fixpoint_suppress_equals_sequential_greedy():
         got = np.asarray(_greedy_suppress(jnp.asarray(iou),
                                           jnp.asarray(valid), thr))
         np.testing.assert_array_equal(got, keep_ref, err_msg=f"trial {trial}")
+
+
+def test_soft_nms_matches_sequential_reference():
+    """sph_batched_soft_nms == the sequential Bodla et al. algorithm
+    (pick argmax, decay overlaps, repeat) on the same IoU backend."""
+    from sph_retina_tpu.boxes.nms import _pairwise_iou, sph_batched_soft_nms
+    from sph_retina_tpu.geometry import generate_boxes
+
+    rng = np.random.default_rng(7)
+    for method in ("linear", "gaussian"):
+        n, thr, sigma, min_score = 40, 0.3, 0.5, 1e-3
+        boxes = np.asarray(generate_boxes(n, 4, seed=11))
+        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        idxs = rng.integers(0, 3, n).astype(np.int32)
+
+        res = sph_batched_soft_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(idxs),
+            iou_threshold=thr, sigma=sigma, min_score=min_score,
+            method=method, max_num=20, nms_pre=n,
+            backend="sph2pob_efficient")
+
+        # sequential reference on the identical (class-masked) IoU matrix,
+        # in the identical top-k candidate order
+        order = np.argsort(-scores, kind="stable")
+        iou = np.asarray(_pairwise_iou(jnp.asarray(boxes[order]),
+                                       "sph2pob_efficient"))
+        same = idxs[order][:, None] == idxs[order][None, :]
+        iou = np.where(same, iou, 0.0)
+        np.fill_diagonal(iou, 0.0)
+        live = scores[order].astype(np.float64).copy()
+        picks, pick_scores = [], []
+        for _ in range(20):
+            j = int(np.argmax(live))
+            picks.append(j)
+            pick_scores.append(live[j])
+            if method == "linear":
+                decay = np.where(iou[j] > thr, 1.0 - iou[j], 1.0)
+            else:
+                decay = np.exp(-(iou[j] ** 2) / sigma)
+            live *= decay
+            live[j] = -np.inf
+
+        got_scores = np.asarray(res.scores)
+        want = np.asarray(pick_scores)
+        keep = want > min_score
+        assert np.asarray(res.valid)[: keep.sum()].all()
+        np.testing.assert_allclose(got_scores[: keep.sum()], want[keep],
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=method)
+        np.testing.assert_array_equal(
+            np.asarray(res.labels)[: keep.sum()],
+            idxs[order][np.asarray(picks)][keep])
+
+
+def test_soft_nms_config_threading():
+    """test_cfg nms=dict(type='soft_nms') reaches the predict path."""
+    import jax
+
+    from sph_retina_tpu.engine.zoo import get_family
+
+    cfg = {"model": {"type": "SphRetinaNet", "num_classes": 3,
+                     "backbone": {"depth": 18}},
+           "img_size": (64, 128), "bf16": False,
+           "test_cfg": {"nms": {"type": "soft_nms", "method": "gaussian",
+                                "sigma": 0.4}}}
+    family = get_family(cfg)
+    model, det = family.build(cfg)
+    assert det.nms_type == "soft_nms"
+    assert det.soft_method == "gaussian" and det.soft_sigma == 0.4
+    variables = family.init(model, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 128, 3)))
+    predict = jax.jit(family.predict_fn(model, det))
+    res = predict(variables, jnp.zeros((2, 64, 128, 3)))
+    assert np.isfinite(np.asarray(res.scores)).all()
