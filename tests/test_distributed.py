@@ -88,12 +88,8 @@ log_config = dict(interval=1)
 """
 
 
-def test_two_process_train_eval_ckpt(tmp_path):
-    cfg_path = tmp_path / "tiny.py"
-    cfg_path.write_text(TINY_CFG)
-    work_dir = tmp_path / "work"
+def _launch_two_ranks(cfg_path, work_dir):
     port = _free_port()
-
     env_base = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = []
     for pid in range(2):
@@ -111,6 +107,20 @@ def test_two_process_train_eval_ckpt(tmp_path):
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = [p.communicate(timeout=900)[0] for p in procs]
+    return procs, outs
+
+
+def test_two_process_train_eval_ckpt(tmp_path):
+    cfg_path = tmp_path / "tiny.py"
+    cfg_path.write_text(TINY_CFG)
+
+    # one retry: under heavy machine load the 2-process gloo rendezvous
+    # (port grab + coordinator barrier) can time out spuriously
+    for attempt in range(2):
+        work_dir = tmp_path / f"work{attempt}"
+        procs, outs = _launch_two_ranks(cfg_path, work_dir)
+        if all(p.returncode == 0 for p in procs):
+            break
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"rank {procs.index(p)} failed:\n{out[-4000:]}"
 

@@ -113,3 +113,43 @@ def test_images2coco_and_get_image_metas(tmp_path):
     metas = json.loads(metas_path.read_text())
     assert len(metas) == 3
     assert metas[0]["width"] == 128 and metas[0]["height"] == 64
+
+
+def test_pascal_voc_converter_roundtrip(tmp_path):
+    """VOC XML -> spherical COCO JSON loadable by SphCocoDataset."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "pascal_voc", os.path.join(REPO, "tools", "pascal_voc.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    xml = """<annotation><filename>{f}</filename>
+    <size><width>400</width><height>200</height></size>
+    <object><name>person</name><difficult>0</difficult>
+      <bndbox><xmin>101</xmin><ymin>51</ymin><xmax>201</xmax><ymax>101</ymax></bndbox>
+    </object>
+    <object><name>dog</name><difficult>1</difficult>
+      <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>41</xmax><ymax>21</ymax></bndbox>
+    </object></annotation>"""
+    xml_dir = tmp_path / "ann"
+    xml_dir.mkdir()
+    for i in range(2):
+        (xml_dir / f"img{i}.xml").write_text(xml.format(f=f"img{i}.jpg"))
+    out = tmp_path / "voc.json"
+    res = mod.convert(str(xml_dir), str(out))
+    assert len(res["images"]) == 2 and len(res["annotations"]) == 4
+
+    # person box: pixel (100,50)-(200,100) on 400x200 -> BFoV degrees
+    person = res["annotations"][0]
+    np.testing.assert_allclose(person["bbox"], [135.0, 67.5, 90.0, 45.0])
+    assert person["iscrowd"] == 0
+    assert res["annotations"][1]["iscrowd"] == 1  # difficult -> ignored
+
+    from sph_retina_tpu.data import SphCocoDataset
+
+    ds = SphCocoDataset(ann_file=str(out))
+    assert len(ds) == 2 and ds.num_classes == 20
+    item = ds[0]
+    assert item["boxes"].shape == (1, 4)  # difficult one skipped
+    np.testing.assert_allclose(item["boxes"][0], [135.0, 67.5, 90.0, 45.0])
