@@ -283,15 +283,23 @@ def fcos_predict(cfg: FCOSConfig, cls_scores, bbox_preds, centernesses
         for scores, reg, ctr, points in zip(scores_lv, reg_lv, ctr_lv, pts):
             s = jax.nn.sigmoid(scores) * jax.nn.sigmoid(ctr)[:, None]
             n, c = s.shape
-            flat = jnp.where(s > cfg.score_thr, s, -1.0).reshape(-1)
             k = min(cfg.nms_pre, n * c)
             if getattr(cfg, "approx_topk", True) and k < n * c:
-                # TPU two-stage reduction (see DetectorConfig.approx_topk)
-                top, idx = jax.lax.approx_max_k(flat, k, recall_target=0.99)
+                # anchor-first two-stage pair top-k (exact but for the 0.99
+                # point recall; see single_stage._select_level for the proof)
+                ka = min(k, n)
+                _, pid0 = jax.lax.approx_max_k(jnp.max(s, axis=1), ka,
+                                               recall_target=0.99)
+                rows = s[pid0]
+                flat = jnp.where(rows > cfg.score_thr, rows, -1.0).reshape(-1)
+                top, pidx = jax.lax.top_k(flat, k)
+                pid = pid0[pidx // c]
+                labels = (pidx % c).astype(jnp.int32)
             else:
+                flat = jnp.where(s > cfg.score_thr, s, -1.0).reshape(-1)
                 top, idx = jax.lax.top_k(flat, k)
-            pid = idx // c
-            labels = (idx % c).astype(jnp.int32)
+                pid = idx // c
+                labels = (idx % c).astype(jnp.int32)
             boxes = coder.decode(points[pid], reg[pid][:, :4])
             if cfg.box_version == 5:
                 boxes = jnp.concatenate([boxes, reg[pid][:, 4:5]], -1)

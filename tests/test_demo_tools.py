@@ -80,7 +80,8 @@ def test_occluded_recall_cli(tmp_path):
     raw = str(tmp_path / "raw.npz")
     save_raw_results(raw, arrays)
     out = str(tmp_path / "rec.json")
-    text = _run(["tools/occluded_recall.py", raw, "--out", out])
+    text = _run(["tools/occluded_recall.py", raw, "--out", out,
+                 "--device", "cpu"])
     assert "all" in text and os.path.exists(out)
     import json
 

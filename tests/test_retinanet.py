@@ -141,3 +141,37 @@ def test_train_step_jits_and_descends(setup):
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_two_stage_preselect_matches_exact_topk():
+    """The anchor-first pair top-k equals exact flattened top-k (same
+    selected pairs) when the anchor stage is exact."""
+    import jax
+
+    from sph_retina_tpu.models.single_stage import _select_level
+
+    class Cfg:
+        score_thr = 0.05
+        approx_topk = True
+
+    rng = np.random.default_rng(0)
+    n, c, k = 512, 37, 100
+    scores = jnp.asarray(rng.uniform(0, 1, (n, c)).astype(np.float32))
+    deltas = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    priors = jnp.asarray(rng.uniform(10, 80, (n, 4)).astype(np.float32))
+
+    top, label, d, p, valid = _select_level(Cfg(), scores, deltas, priors, k)
+
+    flat = np.asarray(scores).reshape(-1)
+    want = np.sort(flat)[::-1][:k]
+    got = np.sort(np.asarray(top))[::-1]
+    # ka=min(k,n)=100 < n: approx stage may drop ~1% of anchors; demand
+    # >=99% of the exact top-k pair scores are recovered
+    assert (np.abs(got - want) < 1e-6).mean() >= 0.99
+    # every returned pair's score must equal scores[anchor, class]
+    # (consistency of the two-stage index arithmetic)
+    sel_scores = np.asarray(scores)[
+        np.argmax((np.asarray(d)[:, None, :] ==
+                   np.asarray(deltas)[None, :, :]).all(-1), axis=1),
+        np.asarray(label)]
+    np.testing.assert_allclose(np.asarray(top), sel_scores, atol=1e-6)

@@ -27,7 +27,14 @@ def main():
     p.add_argument("--occ-iou-thr", type=float, default=0.1)
     p.add_argument("--iou-backend", default="sph2pob_efficient")
     p.add_argument("--out", default=None, help="save the metrics as JSON")
+    p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms",
+                          "axon" if args.device == "tpu" else args.device)
 
     from sph_retina_tpu.engine.analysis import (
         load_raw_results,
