@@ -23,13 +23,18 @@ COCO_IOU_THRS = tuple(np.round(np.arange(0.5, 1.0, 0.05), 2))
 
 @functools.lru_cache(maxsize=8)
 def _iou_fn(backend: str, max_det: int, max_gt: int, box_version: int):
+    from ..utils.memory import AvoidOOM
+
     @jax.jit
     def f(dets, gts):
         from ..iou.api import sph_overlaps
 
         return sph_overlaps(dets, gts, backend)
 
-    return f
+    # Device-OOM ladder (gc -> bf16 -> host) for very large det x gt
+    # matrices, mirroring the reference's AvoidCUDAOOM around test-time ops
+    # (/root/reference/mmdet/utils/memory.py:79).
+    return AvoidOOM(verbose=False)(f)
 
 
 def _pairwise_iou_np(det_boxes, gt_boxes, backend, max_det=128, max_gt=64):

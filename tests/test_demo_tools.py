@@ -128,3 +128,24 @@ def test_video_demo(tmp_path):
         n += 1
     cap.release()
     assert n == 5
+
+
+def test_webcam_demo_headless_on_file_source(tmp_path):
+    # Parity: /root/reference/demo/webcam_demo.py; --source/--out exercise
+    # the camera loop headlessly on machines without a capture device.
+    import cv2
+
+    vid = str(tmp_path / "cam.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (128, 64))
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        w.write(rng.integers(0, 255, (64, 128, 3), np.uint8))
+    w.release()
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(CFG)
+    out = tmp_path / "shots"
+    text = _run(["tools/webcam_demo.py", str(cfg), "--device", "cpu",
+                 "--source", vid, "--out", str(out), "--max-frames", "3"])
+    assert "3 frames processed" in text
+    assert sorted(os.listdir(out)) == [
+        "frame_000001.jpg", "frame_000002.jpg", "frame_000003.jpg"]
