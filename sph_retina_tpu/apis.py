@@ -19,7 +19,7 @@ device dispatch instead of the reference's one-forward-per-image loop.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Sequence
 
 import numpy as np
@@ -42,7 +42,6 @@ class Detector:
     pipeline: Any
     num_classes: int
     box_version: int
-    _cache: dict = field(default_factory=dict, repr=False)
 
 
 def init_detector(config, checkpoint: str | None = None,
@@ -106,6 +105,11 @@ def _prepare(det: Detector, img) -> tuple[np.ndarray, np.ndarray]:
     img = np.asarray(img)
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
+    if img.dtype != np.uint8:
+        # float arrays are 0-255 scale (reference convention: images stay
+        # 0-255 until Normalize); PIL's fromarray rejects float RGB, so
+        # coerce before the resize path.
+        img = np.clip(np.round(img), 0, 255).astype(np.uint8)
     resized = det.pipeline.resize(img)
     return resized, det.pipeline.normalize(resized)
 

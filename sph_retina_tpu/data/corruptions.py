@@ -16,6 +16,8 @@ The 10 implemented types cover all four benchmark categories
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 
@@ -179,8 +181,11 @@ def corrupt(img: np.ndarray, name: str, severity: int = 1,
     if fn is None:
         raise KeyError(f"unknown corruption {name!r}; "
                        f"choose from {sorted(CORRUPTIONS)}")
+    # crc32, not hash(): str hash is salted per interpreter (PYTHONHASHSEED)
+    # and would break cross-run reproducibility of the "seeded" contract.
     rng = np.random.default_rng(
-        np.random.SeedSequence([seed, severity, hash(name) & 0x7FFFFFFF]))
+        np.random.SeedSequence(
+            [seed, severity, zlib.crc32(name.encode()) & 0x7FFFFFFF]))
     return _to_uint8(fn(np.asarray(img, np.uint8), severity, rng))
 
 

@@ -111,10 +111,15 @@ def build_datasets(cfg: dict, split: str = "train", num_shards: int = 1,
     return ds, loader
 
 
-def scaled_base_lr(cfg: dict, num_devices: int = 1) -> float:
+def scaled_base_lr(cfg: dict, num_processes: int = 1) -> float:
     """Linear LR scaling rule (reference ``auto_scale_lr``,
     /root/reference/mmdet/apis/train.py:71-114): when enabled, scale the
-    configured lr by (num_devices * samples_per_gpu) / base_batch_size."""
+    configured lr by global_batch / base_batch_size.
+
+    The global batch here is ``num_processes * samples_per_gpu``: each
+    *process* loads ``samples_per_gpu`` rows and the mesh spreads them over
+    its local devices (tools/train.py + parallel.make_global_batch), so
+    scaling by device count would overcount by the local-chip factor."""
     opt = cfg.get("optimizer", {})
     lr = opt.get("lr", 0.005)
     asl = cfg.get("auto_scale_lr", {})
@@ -123,15 +128,15 @@ def scaled_base_lr(cfg: dict, num_devices: int = 1) -> float:
     base = asl.get("base_batch_size")
     if not base:
         return lr
-    batch = num_devices * cfg.get("data", {}).get("samples_per_gpu", 4)
+    batch = num_processes * cfg.get("data", {}).get("samples_per_gpu", 4)
     return lr * batch / base
 
 
-def build_tx(cfg: dict, steps_per_epoch: int, num_devices: int = 1):
+def build_tx(cfg: dict, steps_per_epoch: int, num_processes: int = 1):
     opt = cfg.get("optimizer", {})
     lr_cfg = cfg.get("lr_config", {})
     schedule = step_lr_schedule(
-        scaled_base_lr(cfg, num_devices),
+        scaled_base_lr(cfg, num_processes),
         steps_per_epoch,
         milestones=tuple(lr_cfg.get("step", (80, 110))),
         warmup_iters=lr_cfg.get("warmup_iters", 500),

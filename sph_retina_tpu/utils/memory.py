@@ -97,6 +97,7 @@ class AvoidOOM:
             except Exception as err:
                 if not is_oom_error(err):
                     raise
+                last_oom = err
 
             # rung 2: bfloat16 inputs, outputs cast back to fp32
             if self.to_bf16:
@@ -110,18 +111,26 @@ class AvoidOOM:
                 except Exception as err:
                     if not is_oom_error(err):
                         raise
+                    last_oom = err
 
             # rung 3: host CPU at full precision
             if self.to_cpu:
-                self._warn(f"{getattr(func, '__name__', func)}: device OOM; "
-                           "falling back to the CPU backend")
-                cpu = jax.devices("cpu")[0]
-                out = func(*_tree_to_device(args, cpu),
-                           **_tree_to_device(kwargs, cpu))
-                return out
+                try:
+                    cpu = jax.devices("cpu")[0]
+                except RuntimeError:
+                    # jax_platforms pinned to the accelerator only — the
+                    # cpu backend is excluded; surface the real OOM rather
+                    # than an "Unknown backend" error.
+                    cpu = None
+                if cpu is not None:
+                    self._warn(f"{getattr(func, '__name__', func)}: device "
+                               "OOM; falling back to the CPU backend")
+                    return func(*_tree_to_device(args, cpu),
+                                **_tree_to_device(kwargs, cpu))
 
             raise RuntimeError(
                 f"{getattr(func, '__name__', func)} exhausted the OOM retry "
-                "ladder (bf16/cpu rungs disabled)")
+                "ladder (remaining rungs disabled or unavailable)"
+            ) from last_oom
 
         return wrapped

@@ -47,11 +47,14 @@ def save_published(path: str, params, batch_stats=None, meta: dict | None = None
         flat.update(_flatten(batch_stats, "batch_stats/"))
     flat["__meta__"] = np.frombuffer(
         json.dumps(meta or {}).encode(), np.uint8)
+    # savez_compressed appends ".npz" to suffix-less paths; normalize first
+    # so the hash/rename below operate on the file actually written.
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez_compressed(path, **flat)
     with open(path, "rb") as f:
         sha = hashlib.sha256(f.read()).hexdigest()
-    base = path[:-4] if path.endswith(".npz") else path
-    final = f"{base}-{sha[:8]}.npz"
+    final = f"{path[:-4]}-{sha[:8]}.npz"
     import os
 
     os.replace(path, final)

@@ -48,3 +48,12 @@ def test_show_result_renders(tmp_path):
     out = show_result(det, img, result, score_thr=0.0, out_file=str(out_file))
     assert out.shape == (64, 128, 3) and out.dtype == np.uint8
     assert out_file.exists()
+
+
+def test_inference_accepts_float_image_needing_resize():
+    """Docstring-allowed float arrays must survive the PIL resize path
+    (regression: Image.fromarray rejects float RGB)."""
+    det = init_detector(TINY_CFG)
+    img = np.random.RandomState(3).rand(80, 160, 3) * 255.0  # float64, off-size
+    result = inference_detector(det, img)
+    assert isinstance(result, list) and len(result) == 3

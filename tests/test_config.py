@@ -129,3 +129,26 @@ def test_x101_config_threads_resnext_backbone():
         repo, "configs", "sph_retinanet_x101_32x4d_fpn_120e_indoor360.py"))
     model, _ = get_family(cfg).build(cfg)
     assert (model.depth, model.groups, model.base_width) == (101, 32, 4)
+
+
+def test_faster_rcnn_test_cfg_nms_threading():
+    """test_cfg nms keys must reach FasterRCNNConfig (regression: the
+    iou_threshold / score_thr / max_per_img keys were silently dropped)."""
+    from sph_retina_tpu.engine.zoo import get_family
+
+    cfg = dict(
+        model=dict(type="SphFasterRCNN", num_classes=3,
+                   backbone=dict(depth=18)),
+        img_size=(64, 128), bf16=False,
+        test_cfg=dict(score_thr=0.11, max_per_img=42,
+                      nms=dict(type="soft_nms", iou_threshold=0.31,
+                               method="gaussian", sigma=0.7)),
+    )
+    family = get_family(cfg)
+    _, det_cfg = family.build(cfg)
+    assert det_cfg.nms_iou_thr == 0.31
+    assert det_cfg.score_thr == 0.11
+    assert det_cfg.max_per_img == 42
+    assert det_cfg.nms_type == "soft_nms"
+    assert det_cfg.soft_method == "gaussian"
+    assert det_cfg.soft_sigma == 0.7

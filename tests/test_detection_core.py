@@ -269,10 +269,11 @@ def test_auto_scale_lr_linear_rule():
     cfg = {"optimizer": {"lr": 0.01},
            "data": {"samples_per_gpu": 4},
            "auto_scale_lr": {"enable": True, "base_batch_size": 16}}
-    assert scaled_base_lr(cfg, num_devices=8) == 0.01 * 32 / 16
-    assert scaled_base_lr(cfg, num_devices=4) == 0.01  # batch == base
+    # scaling counts processes (each loads samples_per_gpu), not devices
+    assert scaled_base_lr(cfg, num_processes=8) == 0.01 * 32 / 16
+    assert scaled_base_lr(cfg, num_processes=4) == 0.01  # batch == base
     cfg["auto_scale_lr"]["enable"] = False
-    assert scaled_base_lr(cfg, num_devices=8) == 0.01
+    assert scaled_base_lr(cfg, num_processes=8) == 0.01
     assert scaled_base_lr({"optimizer": {"lr": 0.02}}) == 0.02
 
 

@@ -153,3 +153,18 @@ def test_pascal_voc_converter_roundtrip(tmp_path):
     item = ds[0]
     assert item["boxes"].shape == (1, 4)  # difficult one skipped
     np.testing.assert_allclose(item["boxes"][0], [135.0, 67.5, 90.0, 45.0])
+
+
+def test_save_published_without_npz_suffix(tmp_path):
+    """A suffix-less out path must not crash after np.savez appends .npz
+    (regression: FileNotFoundError at the hash/rename step)."""
+    import numpy as np
+
+    from sph_retina_tpu.utils.publish import load_published, save_published
+
+    params = {"w": np.arange(4, dtype=np.float32)}
+    final = save_published(str(tmp_path / "model"), params, {}, {"a": 1})
+    assert final.endswith(".npz") and "-" in final
+    loaded, _, meta = load_published(final)
+    np.testing.assert_array_equal(loaded["w"], params["w"])
+    assert meta == {"a": 1}

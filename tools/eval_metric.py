@@ -39,7 +39,7 @@ def main():
     jax.config.update("jax_platforms",
                       "axon" if args.device == "tpu" else args.device)
 
-    from sph_retina_tpu.engine.analysis import load_raw_results
+    from sph_retina_tpu.engine.analysis import _unpack, load_raw_results
     from sph_retina_tpu.engine.eval import eval_spherical_map
     from sph_retina_tpu.utils.config import load_config
 
@@ -48,12 +48,9 @@ def main():
 
     det_results, annotations = [], []
     for i in range(arrays["boxes"].shape[0]):
-        v = arrays["valid"][i].astype(bool)
-        m = arrays["gt_mask"][i].astype(bool)
-        det_results.append((arrays["boxes"][i][v], arrays["scores"][i][v],
-                            arrays["labels"][i][v].astype(int)))
-        annotations.append({"boxes": arrays["gt_boxes"][i][m],
-                            "labels": arrays["gt_labels"][i][m].astype(int)})
+        boxes, scores, labels, gt_boxes, gt_labels = _unpack(arrays, i)
+        det_results.append((boxes, scores, labels))
+        annotations.append({"boxes": gt_boxes, "labels": gt_labels})
 
     kwargs = {}
     if args.iou_thrs:

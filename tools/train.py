@@ -131,7 +131,7 @@ def main():
 
     max_epochs = args.max_epochs or cfg.get("runner", {}).get("max_epochs", 120)
     tx = build_tx(cfg, steps_per_epoch=max(len(loader), 1),
-                  num_devices=jax.device_count())
+                  num_processes=jax.process_count())
 
     rng = jax.random.PRNGKey(args.seed)
     h, w = cfg.get("img_size", (512, 1024))
