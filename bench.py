@@ -17,19 +17,29 @@ estimates derived in BASELINE.md (train 26 img/s, inference 70 img/s).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-from sph_retina_tpu.geometry import generate_boxes
-from sph_retina_tpu.ops import sph2pob_iou_aligned_tpu
-
-N = 1_000_000
-ITERS = 100
+N = int(os.environ.get("BENCH_N", 1_000_000))  # smoke-test override
+ITERS = int(os.environ.get("BENCH_ITERS", 100))
 BASELINE_MPAIRS_S = 104.2  # reference CUDA, 1M pairs / 0.0096 s
 A100_TRAIN_IMGS_S = 26.0   # estimated, BASELINE.md "A100 estimate" section
 A100_INFER_IMGS_S = 70.0   # estimated, BASELINE.md "A100 estimate" section
+
+
+def _import_jax():
+    """Deferred so the supervisor process never touches the TPU tunnel."""
+    global jax, jnp, generate_boxes, sph2pob_iou_aligned_tpu
+    import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        # the axon site hook pins jax_platforms at interpreter start, so a
+        # JAX_PLATFORMS env var cannot redirect a smoke run; this can.
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    import jax.numpy as jnp
+    from sph_retina_tpu.geometry import generate_boxes
+    from sph_retina_tpu.ops import sph2pob_iou_aligned_tpu
 
 
 def bench_iou():
@@ -227,7 +237,8 @@ def bench_retinanet(batch=8, h=512, w=1024, max_gt=16, n_timed=10):
     return train_ips, infer_ips, train_dev, infer_dev
 
 
-def main():
+def run_benchmarks():
+    _import_jax()
     pairs_s = bench_iou()
     result = {
         "metric": "sph2pob_iou_pairs_per_sec",
@@ -236,6 +247,10 @@ def main():
         "vs_baseline": round(pairs_s / 1e6 / BASELINE_MPAIRS_S, 2),
     }
     extra = {}
+    if os.environ.get("BENCH_EXTRA", "1") == "0":  # smoke-test: primary only
+        result["extra"] = extra
+        print(json.dumps(result))
+        return
     try:
         extra["pairwise_131kx128_pairs_per_sec"] = round(bench_pairwise())
         extra["unbiased_oracle_1m_pairs_seconds"] = round(bench_unbiased(), 4)
@@ -260,5 +275,47 @@ def main():
     print(json.dumps(result))
 
 
+def main():
+    """Supervise the real bench in a child process.
+
+    The axon tunnel occasionally hangs a whole python process (even
+    ``jax.devices()``) and recovers after ~a minute in a *fresh* process
+    (see .claude/skills/verify/SKILL.md). Running the benchmark in a
+    bounded child and retrying turns a tunnel hiccup into a delay instead
+    of a lost BENCH_r*.json. The child's single JSON line is re-emitted
+    verbatim; its stderr passes through for logging.
+    """
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
+    retry_wait = float(os.environ.get("BENCH_RETRY_WAIT", "90"))
+    last_err = "no attempts ran"
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                stdout=subprocess.PIPE, timeout=attempt_timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            lines = [l for l in proc.stdout.decode().splitlines() if l.strip()]
+            if proc.returncode == 0 and lines:
+                json.loads(lines[-1])  # must be the one JSON result line
+                print(lines[-1])
+                return
+            last_err = f"rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {attempt_timeout:.0f}s (tunnel hang?)"
+        except (json.JSONDecodeError, OSError) as e:
+            last_err = f"{type(e).__name__}: {e}"[:200]
+        print(f"bench attempt {i + 1}/{attempts} failed: {last_err}",
+              file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(retry_wait)
+    print(json.dumps({"metric": "sph2pob_iou_pairs_per_sec", "value": 0,
+                      "unit": "pairs/s", "vs_baseline": 0.0,
+                      "extra": {"error": f"all attempts failed: {last_err}"}}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv[1:]:
+        run_benchmarks()
+    else:
+        main()
