@@ -1,0 +1,45 @@
+"""Contract test for the driver-facing bench entry point.
+
+The driver runs ``python bench.py`` at the end of every round and records
+its ONE JSON line. This drives the real supervisor → child → JSON chain in
+subprocesses (on the CPU backend, tiny sizes) so a regression in either
+layer is caught before it costs a recorded benchmark.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(env_extra, timeout=420):
+    env = dict(os.environ, BENCH_PLATFORM="cpu", BENCH_N="5000",
+               BENCH_ITERS="10", BENCH_EXTRA="0")
+    env.update(env_extra)
+    proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          stdout=subprocess.PIPE, timeout=timeout, env=env,
+                          cwd=REPO)
+    lines = [l for l in proc.stdout.decode().splitlines() if l.strip()]
+    assert proc.returncode == 0 and lines, proc.stdout
+    return json.loads(lines[-1])
+
+
+def test_bench_emits_one_json_line():
+    out = _run({"BENCH_ATTEMPTS": "1", "BENCH_ATTEMPT_TIMEOUT": "400"})
+    assert out["metric"] == "sph2pob_iou_pairs_per_sec"
+    assert out["unit"] == "pairs/s"
+    assert out["value"] > 0
+    assert "vs_baseline" in out and "extra" in out
+
+
+def test_bench_supervisor_survives_hung_child():
+    """A child that never finishes must still yield a JSON line (the
+    tunnel-hang failure mode the supervisor exists for)."""
+    out = _run({"BENCH_ATTEMPTS": "1", "BENCH_ATTEMPT_TIMEOUT": "3",
+                # huge N on CPU: guaranteed to blow the 3 s attempt budget
+                "BENCH_N": "2000000", "BENCH_ITERS": "100",
+                "BENCH_RETRY_WAIT": "1"}, timeout=120)
+    assert out["value"] == 0
+    assert "error" in out["extra"]
