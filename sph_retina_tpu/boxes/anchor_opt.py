@@ -130,7 +130,13 @@ def evolve_anchors(
         def gen(_, carry):
             key, pop, fit = carry
             key, k1, k2, k3 = jax.random.split(key, 4)
-            idx = jax.random.randint(k1, (pop_size, 3), 0, pop_size)
+            # rand/1/bin donors: three *distinct* indices, none equal to the
+            # target (scipy differential_evolution semantics). Permute
+            # 0..P-2 per row, take 3, then shift past the row's own index.
+            perm = jax.vmap(
+                lambda k: jax.random.permutation(k, pop_size - 1)[:3])(
+                jax.random.split(k1, pop_size))          # (P, 3) in 0..P-2
+            idx = perm + (perm >= jnp.arange(pop_size)[:, None])
             a, b, c = pop[idx[:, 0]], pop[idx[:, 1]], pop[idx[:, 2]]
             mutant = jnp.clip(a + mutation * (b - c), lo, hi)
             cross = jax.random.uniform(k2, (pop_size, dim)) < crossover

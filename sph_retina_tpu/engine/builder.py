@@ -19,6 +19,24 @@ from ..models.single_stage import DetectorConfig
 from .train import build_optimizer, step_lr_schedule
 
 
+def parse_test_nms_cfg(cfg: dict) -> dict:
+    """The post-processing keys every detector family reads from
+    ``test_cfg`` — one parser so single-stage and two-stage configs can
+    never drift in defaults (score_thr 0.05 / max_per_img 100 / nms 0.5
+    match the reference's test_cfg, configs/_base_/models/*.py)."""
+    test_cfg = cfg.get("test_cfg", {})
+    nms = test_cfg.get("nms", {})
+    return dict(
+        score_thr=test_cfg.get("score_thr", 0.05),
+        max_per_img=test_cfg.get("max_per_img", 100),
+        nms_type=nms.get("type", "nms"),
+        nms_iou_thr=nms.get("iou_threshold", 0.5),
+        soft_method=nms.get("method", "linear"),
+        soft_sigma=nms.get("sigma", 0.5),
+        soft_min_score=nms.get("min_score", 1e-3),
+    )
+
+
 def build_detector_config(cfg: dict) -> DetectorConfig:
     m = cfg["model"]
     train_cfg = cfg.get("train_cfg", {})
@@ -57,14 +75,8 @@ def build_detector_config(cfg: dict) -> DetectorConfig:
         reg_decoded_bbox=m.get("reg_decoded_bbox", False),
         assign_backend=assign_backend,
         nms_pre=test_cfg.get("nms_pre", 1000),
-        score_thr=test_cfg.get("score_thr", 0.05),
-        nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
-        max_per_img=test_cfg.get("max_per_img", 100),
         nms_backend=test_cfg.get("iou_calculator", "planar"),
-        nms_type=test_cfg.get("nms", {}).get("type", "nms"),
-        soft_method=test_cfg.get("nms", {}).get("method", "linear"),
-        soft_sigma=test_cfg.get("nms", {}).get("sigma", 0.5),
-        soft_min_score=test_cfg.get("nms", {}).get("min_score", 1e-3),
+        **parse_test_nms_cfg(cfg),
     )
 
 

@@ -33,8 +33,10 @@ def _iou_fn(backend: str, max_det: int, max_gt: int, box_version: int):
 
     # Device-OOM ladder (gc -> bf16 -> host) for very large det x gt
     # matrices, mirroring the reference's AvoidCUDAOOM around test-time ops
-    # (/root/reference/mmdet/utils/memory.py:79).
-    return AvoidOOM(verbose=False)(f)
+    # (/root/reference/mmdet/utils/memory.py:79). Fallbacks that change
+    # numerics (bf16) always warn so a precision change in mAP matching is
+    # never silent.
+    return AvoidOOM()(f)
 
 
 def _pairwise_iou_np(det_boxes, gt_boxes, backend, max_det=128, max_gt=64):

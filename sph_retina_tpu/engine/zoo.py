@@ -157,8 +157,8 @@ class FasterRCNNFamily:
         model = SphFasterRCNN(num_classes=c["num_classes"],
                               box_version=c["box_version"], dtype=dtype,
                               **c["backbone"])
-        test_cfg = cfg_dict.get("test_cfg", {})
-        nms = test_cfg.get("nms", {})
+        from .builder import parse_test_nms_cfg
+
         sampler = cfg_dict.get("train_cfg", {}).get("sampler", {})
         sampler_type = {"OHEMSampler": "ohem", "ohem": "ohem"}.get(
             sampler.get("type", "random"), "random")
@@ -166,13 +166,7 @@ class FasterRCNNFamily:
             c["num_classes"], img_size=c["img_size"],
             box_version=c["box_version"],
             sampler_type=sampler_type,
-            score_thr=test_cfg.get("score_thr", 0.05),
-            max_per_img=test_cfg.get("max_per_img", 100),
-            nms_type=nms.get("type", "nms"),
-            nms_iou_thr=nms.get("iou_threshold", 0.5),
-            soft_method=nms.get("method", "linear"),
-            soft_sigma=nms.get("sigma", 0.5),
-            soft_min_score=nms.get("min_score", 1e-3))
+            **parse_test_nms_cfg(cfg_dict))
 
     @staticmethod
     def init(model, rng, x):

@@ -68,8 +68,10 @@ class AvoidOOM:
     Args:
         to_bf16: enable the bfloat16 retry rung (default True).
         to_cpu: enable the host-CPU retry rung (default True).
-        verbose: warn on each fallback taken (mirrors the reference's
-            logger messages).
+        verbose: kept for API compatibility. Result-altering fallbacks
+            (bf16, CPU) always warn — the reference's AvoidCUDAOOM logs
+            every fallback, and a silent precision change would make the
+            same checkpoint score differently across machines.
     """
 
     def __init__(self, to_bf16: bool = True, to_cpu: bool = True,
@@ -79,21 +81,23 @@ class AvoidOOM:
         self.verbose = verbose
 
     def _warn(self, msg: str) -> None:
-        if self.verbose:
-            warnings.warn(msg, stacklevel=3)
+        warnings.warn(msg, stacklevel=3)
 
     def __call__(self, func):
         @functools.wraps(func)
         def wrapped(*args, **kwargs):
+            # block_until_ready inside each rung: jax dispatch is async, so
+            # an execution-time RESOURCE_EXHAUSTED would otherwise surface
+            # at the caller's first use of the result — past this ladder.
             try:
-                return func(*args, **kwargs)
+                return jax.block_until_ready(func(*args, **kwargs))
             except Exception as err:  # noqa: BLE001 — filtered below
                 if not is_oom_error(err):
                     raise
             # rung 1: free dead buffers and retry at full precision
             gc.collect()
             try:
-                return func(*args, **kwargs)
+                return jax.block_until_ready(func(*args, **kwargs))
             except Exception as err:
                 if not is_oom_error(err):
                     raise
@@ -107,7 +111,8 @@ class AvoidOOM:
                     out = func(*_tree_cast_floats(args, jax.numpy.bfloat16),
                                **_tree_cast_floats(kwargs,
                                                    jax.numpy.bfloat16))
-                    return _tree_cast_floats(out, np.float32)
+                    return _tree_cast_floats(jax.block_until_ready(out),
+                                             np.float32)
                 except Exception as err:
                     if not is_oom_error(err):
                         raise

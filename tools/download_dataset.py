@@ -20,6 +20,7 @@ Usage:
 
 import argparse
 import hashlib
+import inspect
 import shutil
 import tarfile
 import urllib.request
@@ -90,7 +91,12 @@ def _extract(f: Path, dst: Path) -> None:
         zipfile.ZipFile(f).extractall(path=dst)
     elif name.endswith((".tar", ".tar.gz", ".tgz")):
         with tarfile.open(f) as tf:
-            tf.extractall(path=dst, filter="data")
+            # the safe-extraction filter only exists from 3.10.12/3.11.4
+            # security backports on; requires-python is >=3.10, so probe.
+            if "filter" in inspect.signature(tf.extractall).parameters:
+                tf.extractall(path=dst, filter="data")
+            else:
+                tf.extractall(path=dst)  # noqa: S202 — pre-backport python
     else:
         raise ValueError(f"don't know how to extract {f.name}")
 

@@ -27,10 +27,9 @@ def main():
     p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args()
 
-    if args.device == "cpu":
-        import jax
+    from sph_retina_tpu.utils.device import pin_platform
 
-        jax.config.update("jax_platforms", "cpu")
+    pin_platform(args.device)
 
     import jax
     import jax.numpy as jnp

@@ -32,10 +32,9 @@ def main():
                    help="stop after N frames (0 = all)")
     args = p.parse_args()
 
-    if args.device == "cpu":
-        import jax
+    from sph_retina_tpu.utils.device import pin_platform
 
-        jax.config.update("jax_platforms", "cpu")
+    pin_platform(args.device)
 
     import cv2
 
@@ -52,7 +51,12 @@ def main():
         nonlocal writer
         if not frames:
             return 0
-        results = inference_detector(det, frames)
+        # pad a ragged tail to the compiled batch shape: a (k, H, W, 3)
+        # call with k < batch would retrace + recompile the whole detector
+        # just for the leftover frames.
+        n_real = len(frames)
+        padded = frames + [frames[-1]] * (args.batch - n_real)
+        results = inference_detector(det, padded)[:n_real]
         for frame, result in zip(frames, results):
             drawn = show_result(det, frame, result, score_thr=args.score_thr)
             if writer is None:
