@@ -64,7 +64,13 @@ def main():
     p.add_argument("--tp-iou-thr", type=float, default=0.5)
     p.add_argument("--iou-backend", default="sph2pob_efficient")
     p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--device", default="cpu", choices=["cpu", "tpu", "axon"],
+                   help="offline analysis defaults to cpu")
     args = p.parse_args()
+
+    from sph_retina_tpu.utils.device import pin_platform
+
+    pin_platform(args.device)
 
     import numpy as np
 
