@@ -168,3 +168,46 @@ def test_save_published_without_npz_suffix(tmp_path):
     loaded, _, meta = load_published(final)
     np.testing.assert_array_equal(loaded["w"], params["w"])
     assert meta == {"a": 1}
+
+def test_cityscapes_converter(tmp_path):
+    """gtFine instance-id map -> spherical COCO JSON, no cityscapesscripts."""
+    import importlib.util
+
+    from PIL import Image
+
+    spec = importlib.util.spec_from_file_location(
+        "cityscapes", os.path.join(REPO, "tools", "cityscapes.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    h, w = 100, 200
+    inst = np.zeros((h, w), np.int32)
+    inst[:10, :20] = 7            # stuff label (< 24): ignored
+    inst[20:40, 40:80] = 26000    # car instance
+    inst[50:60, 100:120] = 24     # person crowd region (id < 1000)
+    inst[70:90, 150:190] = 33002  # bicycle instance
+    gt = tmp_path / "gtFine" / "aachen"
+    gt.mkdir(parents=True)
+    Image.fromarray(inst, mode="I").save(
+        gt / "aachen_000000_gtFine_instanceIds.png")
+
+    out = tmp_path / "cs.json"
+    res = mod.convert(str(tmp_path / "gtFine"), str(out))
+    assert len(res["images"]) == 1
+    img = res["images"][0]
+    assert img["file_name"] == os.path.join(
+        "aachen", "aachen_000000_leftImg8bit.png")
+    assert img["width"] == w and img["height"] == h
+
+    anns = sorted(res["annotations"], key=lambda a: a["category_id"])
+    assert [a["category_id"] for a in anns] == [1, 3, 8]  # person, car, bike
+    assert [a["iscrowd"] for a in anns] == [1, 0, 0]
+    # car pixel box (40,20)-(80,40) on 200x100 -> BFoV degrees
+    np.testing.assert_allclose(anns[1]["bbox"], [108.0, 54.0, 72.0, 36.0])
+    assert anns[1]["area"] == 20 * 40
+
+    from sph_retina_tpu.data import SphCocoDataset
+
+    ds = SphCocoDataset(ann_file=str(out))
+    assert ds.num_classes == 8
+    assert ds[0]["boxes"].shape == (2, 4)  # crowd region skipped
