@@ -35,7 +35,8 @@ def _common(cfg_dict):
         img_size=tuple(cfg_dict.get("img_size", (512, 1024))),
         backbone=dict(depth=bb.get("depth", 50),
                       groups=bb.get("groups", 1),
-                      base_width=bb.get("base_width", 64)),
+                      base_width=bb.get("base_width", 64),
+                      remat=bb.get("remat", False)),
     )
 
 

@@ -93,11 +93,13 @@ class SphFasterRCNN(nn.Module):
     dtype: Any = jnp.bfloat16
     groups: int = 1
     base_width: int = 64
+    remat: bool = False
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, dtype=self.dtype,
                                groups=self.groups,
-                               base_width=self.base_width)
+                               base_width=self.base_width,
+                               remat=self.remat)
         self.neck = FPN(out_channels=256, start_level=0, num_outs=5,
                         add_extra_convs="on_output", dtype=self.dtype)
         self.rpn_head = SphRPNHead(box_version=self.box_version,

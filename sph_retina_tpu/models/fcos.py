@@ -99,12 +99,13 @@ class SphFCOS(nn.Module):
     dtype: Any = jnp.bfloat16
     groups: int = 1
     base_width: int = 64
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images):
         feats = ResNet(depth=self.depth, dtype=self.dtype,
                        groups=self.groups, base_width=self.base_width,
-                       name="backbone")(images)
+                       remat=self.remat, name="backbone")(images)
         feats = FPN(out_channels=256, start_level=1, num_outs=5,
                     add_extra_convs="on_input", dtype=self.dtype,
                     name="neck")(feats)

@@ -127,11 +127,21 @@ class ResNet(nn.Module):
     dtype: Any = jnp.bfloat16
     groups: int = 1
     base_width: int = 64
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
         block = Bottleneck if block_kind == "bottleneck" else BasicBlock
+        if self.remat:
+            # Rematerialize each residual block on the backward pass: the
+            # backbone's high-resolution activations dominate train-time HBM
+            # (stage 1 of R50 at B=8 512x1024 holds ~8x256x128x256 bf16 per
+            # block), and trading them for recompute buys batch headroom.
+            # Parameter structure is unchanged (nn.remat is a lifted
+            # transform), so checkpoints and the torchvision port apply
+            # as-is.
+            block = nn.remat(block)
         if block_kind != "bottleneck" and (self.groups != 1
                                            or self.base_width != 64):
             raise ValueError("groups/base_width require a bottleneck depth "

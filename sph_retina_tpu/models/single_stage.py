@@ -50,12 +50,14 @@ class SphRetinaNet(nn.Module):
     dtype: Any = jnp.bfloat16
     groups: int = 1
     base_width: int = 64
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array):
         feats = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
                        dtype=self.dtype, groups=self.groups,
-                       base_width=self.base_width, name="backbone")(images)
+                       base_width=self.base_width, remat=self.remat,
+                       name="backbone")(images)
         feats = FPN(out_channels=self.feat_channels, start_level=1,
                     num_outs=5, add_extra_convs="on_input", dtype=self.dtype,
                     name="neck")(feats)

@@ -175,3 +175,41 @@ def test_two_stage_preselect_matches_exact_topk():
                    np.asarray(deltas)[None, :, :]).all(-1), axis=1),
         np.asarray(label)]
     np.testing.assert_allclose(np.asarray(top), sel_scores, atol=1e-6)
+
+def test_remat_backbone_identical_math():
+    """remat=True (gradient checkpointing on the residual blocks) must not
+    change params, outputs, or gradients — only the backward-pass memory
+    schedule. Trains the same, checkpoints interchange."""
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (1, 64, 128, 3))
+    cfg = retina_config(NUM_CLASSES, img_size=(64, 128))
+    base = SphRetinaNet(num_classes=NUM_CLASSES, depth=18, dtype=jnp.float32)
+    rem = SphRetinaNet(num_classes=NUM_CLASSES, depth=18, dtype=jnp.float32,
+                       remat=True)
+    v1 = base.init(rng, images)
+    v2 = rem.init(rng, images)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v1),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    boxes, labels, mask = _gt_batch()
+    anchors = cfg.flat_anchors()
+
+    def loss_of(model):
+        def f(params):
+            cls, reg = model.apply({"params": params,
+                                    "batch_stats": v1["batch_stats"]},
+                                   images)
+            losses = retina_loss(cfg, cls, reg, anchors, boxes[:1],
+                                 labels[:1], mask[:1])
+            return sum(losses.values())
+        return f
+
+    l1, g1 = jax.value_and_grad(loss_of(base))(v1["params"])
+    l2, g2 = jax.value_and_grad(loss_of(rem))(v2["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
