@@ -22,6 +22,7 @@ from .sharding import (
     make_mesh,
     shard_batch_spatial,
     shard_state_fsdp,
+    sharded_pairwise_overlaps,
 )
 
 __all__ = [
@@ -37,4 +38,5 @@ __all__ = [
     "shard_batch_spatial",
     "fsdp_spec",
     "shard_state_fsdp",
+    "sharded_pairwise_overlaps",
 ]

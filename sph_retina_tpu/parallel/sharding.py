@@ -113,3 +113,36 @@ def jnp_asarray(x):
     import jax.numpy as jnp
 
     return x if isinstance(x, jax.Array) else jnp.asarray(x)
+
+
+def sharded_pairwise_overlaps(b1, b2, mesh: Mesh, backend: str = "sph2pob_efficient"):
+    """Pairwise spherical IoU with the N axis sharded over the 'data' mesh.
+
+    The O(N*M) pair matrix is the detector's long-context analogue
+    (SURVEY.md §5: ~100k anchors x K GT per ERP image; the reference copes
+    by CPU offload above a threshold, mmdet max_iou_assigner.py:100-111).
+    Here the rows of ``b1`` are spread over the mesh and each device
+    computes its (N/d, M) slab against a replicated ``b2`` — no
+    collectives in the compute at all, XLA just keeps the output
+    row-sharded. Rows that don't divide the axis are zero-padded and
+    stripped (padded rows are valid degenerate boxes, never NaN).
+    """
+    import jax.numpy as jnp
+
+    from ..iou.api import sph_overlaps
+
+    axis = mesh.shape[DATA_AXIS]
+    n = b1.shape[0]
+    pad = (-n) % axis
+    b1p = jnp.concatenate(
+        [jnp.asarray(b1),
+         jnp.ones((pad, b1.shape[1]), jnp.asarray(b1).dtype)]) if pad else jnp.asarray(b1)
+    b1p = jax.device_put(b1p, NamedSharding(mesh, P(DATA_AXIS, None)))
+    b2r = jax.device_put(jnp.asarray(b2), NamedSharding(mesh, P()))
+
+    @jax.jit
+    def f(x, y):
+        return sph_overlaps(x, y, backend, is_aligned=False)
+
+    out = f(b1p, b2r)
+    return out[:n] if pad else out

@@ -118,3 +118,24 @@ def test_fsdp_spatial_combined_matches(setup):
 def test_make_mesh_rejects_indivisible():
     with pytest.raises(ValueError):
         make_mesh(N_DEV, space=3)
+
+
+def test_sharded_pairwise_overlaps_matches_single_device():
+    """Row-sharded (N, M) IoU slab == unsharded result (the long-context
+    analogue: assignment-scale pair matrices spread over the mesh)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sph_retina_tpu.geometry import generate_boxes
+    from sph_retina_tpu.iou.api import sph_overlaps
+    from sph_retina_tpu.parallel import make_mesh, sharded_pairwise_overlaps
+
+    # 61 rows: NOT divisible by 8, exercises the pad/strip path
+    b1 = jnp.asarray(generate_boxes(61, 4, seed=1))
+    b2 = jnp.asarray(generate_boxes(7, 4, seed=2))
+    mesh = make_mesh(8)
+    got = sharded_pairwise_overlaps(b1, b2, mesh)
+    assert got.shape == (61, 7)
+    want = sph_overlaps(b1, b2, "sph2pob_efficient", is_aligned=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
