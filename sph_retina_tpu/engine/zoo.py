@@ -120,7 +120,8 @@ class SSDFamily:
         c = _common(cfg_dict)
         dtype = jnp.bfloat16 if cfg_dict.get("bf16", True) else jnp.float32
         model = SphSSD(num_classes=c["num_classes"],
-                       box_version=c["box_version"], dtype=dtype)
+                       box_version=c["box_version"], dtype=dtype,
+                       remat=c["backbone"]["remat"])
         return model, ssd_config(c["num_classes"], img_size=c["img_size"],
                                  box_version=c["box_version"])
 

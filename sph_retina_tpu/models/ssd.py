@@ -55,10 +55,17 @@ class SphSSD(nn.Module):
     num_classes: int
     box_version: int = 4
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images):
-        feats = SSDVGG(dtype=self.dtype, name="backbone")(images)
+        # remat: recompute the whole VGG trunk on backward instead of
+        # storing its activations — VGG's early full-resolution feature
+        # maps are the largest activations of any family here (64ch at
+        # HxW), so one trunk recompute buys the most HBM per FLOP.
+        # nn.remat preserves the param tree (checkpoints/ports unchanged).
+        trunk = nn.remat(SSDVGG) if self.remat else SSDVGG
+        feats = trunk(dtype=self.dtype, name="backbone")(images)
         feats = SSDNeck(dtype=self.dtype, name="neck")(feats)
         return SphSSDHead(num_classes=self.num_classes,
                           box_version=self.box_version, dtype=self.dtype,

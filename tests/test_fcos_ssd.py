@@ -142,3 +142,29 @@ def test_ssd_predict(ssd_setup):
     res = ssd_predict(cfg, cls, reg)
     assert res.boxes.shape == (B, cfg.max_per_img, 4)
     assert np.isfinite(np.asarray(res.scores)).all()
+
+
+def test_ssd_remat_identical_math():
+    """remat=True (whole-VGG-trunk rematerialization) must not change the
+    param tree or gradients, only the backward memory schedule."""
+    from sph_retina_tpu.models import SphSSD
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 128, 3))
+    m0 = SphSSD(num_classes=3, dtype=jnp.float32)
+    m1 = SphSSD(num_classes=3, dtype=jnp.float32, remat=True)
+    v0 = m0.init(jax.random.PRNGKey(1), x)
+    v1 = m1.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(v0)
+            == jax.tree_util.tree_structure(v1))
+
+    def s(m, p):
+        cls, reg = m.apply({"params": p}, x)
+        return (sum(jnp.sum(c.astype(jnp.float32) ** 2) for c in cls)
+                + sum(jnp.sum(r.astype(jnp.float32) ** 2) for r in reg))
+
+    g0 = jax.grad(lambda p: s(m0, p))(v0["params"])
+    g1 = jax.grad(lambda p: s(m1, p))(v1["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
