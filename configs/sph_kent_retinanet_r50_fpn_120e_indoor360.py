@@ -7,7 +7,7 @@ _base_ = ["sph_retinanet_r50_fpn_120e_indoor360.py"]
 
 model = dict(
     reg_decoded_bbox=True,
-    loss_bbox=dict(type="KentLoss", loss_weight=1.0),
+    loss_bbox=dict(_delete_=True, type="KentLoss", loss_weight=1.0),
 )
 train_cfg = dict(assigner=dict(backend="kent"))
 data = dict(samples_per_gpu=1)  # matches the fork's kent config

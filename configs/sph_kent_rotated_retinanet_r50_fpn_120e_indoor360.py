@@ -12,7 +12,8 @@ model = dict(
         target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
         target_stds=[1.0, 1.0, 1.0, 1.0, 1.0],
     ),
-    loss_bbox=dict(type="SphL1Loss", loss_weight=1.0),
+    reg_decoded_bbox=False,
+    loss_bbox=dict(_delete_=True, type="SphL1Loss", loss_weight=1.0),
 )
 train_cfg = dict(
     assigner=dict(backend="sph2pob_efficient", pos_iou_thr=0.5,

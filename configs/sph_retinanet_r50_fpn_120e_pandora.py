@@ -1,15 +1,12 @@
-# RetinaNet RBFoV on PANDORA (47 classes) — parity preset with
-# /root/reference/configs/retinanet/sph_retinanet_r50_fpn_120e_pandora_old.py
+# RetinaNet BFoV on PANDORA (47 classes) — parity preset with
+# /root/reference/configs/retinanet/sph_retinanet_r50_fpn_120e_pandora.py
+# (4-dof boxes there too; that leaf assigns with sph2pob_efficient and
+# evaluates with the exact unbiased-IoU NMS, pandora.py:29-33 — safe here
+# since the (N,N,40,40) dedup tensor was removed from the pairwise path).
 _base_ = ["_base_/sph_retinanet_r50_fpn.py"]
 
-model = dict(
-    num_classes=47,
-    box_version=5,
-    bbox_coder=dict(
-        target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
-        target_stds=[1.0, 1.0, 1.0, 1.0, 1.0],
-    ),
-)
+model = dict(num_classes=47)
+test_cfg = dict(iou_calculator="unbiased_iou")
 data = dict(
     samples_per_gpu=4,
     workers_per_gpu=4,

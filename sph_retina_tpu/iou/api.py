@@ -108,6 +108,15 @@ _BACKENDS = {
     "sph2pob_efficient": partial(_sph2pob_iou_elementwise, variant="sph2pob_efficient"),
     "sph2pob_legacy": partial(_sph2pob_iou_elementwise, variant="sph2pob_legacy"),
     "sph2pob": partial(_sph2pob_iou_elementwise, variant="sph2pob_efficient"),
+    # reference config spellings (sph_iou_api.py:91-98 function names used
+    # as assigner backend strings in leaf configs, e.g.
+    # configs/retinanet/sph_retinanet_r50_fpn_120e_pandora.py:30)
+    "sph2pob_standard_iou": partial(_sph2pob_iou_elementwise,
+                                    variant="sph2pob_standard"),
+    "sph2pob_efficient_iou": partial(_sph2pob_iou_elementwise,
+                                     variant="sph2pob_efficient"),
+    "sph2pob_legacy_iou": partial(_sph2pob_iou_elementwise,
+                                  variant="sph2pob_legacy"),
     "unbiased": _unbiased_deg,
     "unbiased_iou": _unbiased_deg,
     "sph": _sph_deg,

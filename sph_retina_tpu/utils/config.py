@@ -20,7 +20,14 @@ from typing import Any
 def _deep_merge(base: dict, override: dict) -> dict:
     out = copy.deepcopy(base)
     for k, v in override.items():
-        if isinstance(v, dict) and isinstance(out.get(k), dict):
+        if isinstance(v, dict) and v.get("_delete_"):
+            # mmcv Config parity: _delete_=True replaces the inherited dict
+            # wholesale instead of merging into it (needed when a child
+            # swaps e.g. loss_bbox.type and the parent's kwargs must not
+            # leak into the new type's signature).
+            out[k] = {kk: copy.deepcopy(vv) for kk, vv in v.items()
+                      if kk != "_delete_"}
+        elif isinstance(v, dict) and isinstance(out.get(k), dict):
             out[k] = _deep_merge(out[k], v)
         else:
             out[k] = copy.deepcopy(v)

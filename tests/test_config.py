@@ -152,3 +152,17 @@ def test_faster_rcnn_test_cfg_nms_threading():
     assert det_cfg.nms_type == "soft_nms"
     assert det_cfg.soft_method == "gaussian"
     assert det_cfg.soft_sigma == 0.7
+
+
+def test_base_merge_delete_semantics(tmp_path):
+    """mmcv Config parity: _delete_=True replaces an inherited dict instead
+    of merging (so swapping loss_bbox.type drops the parent's kwargs)."""
+    (tmp_path / "base.py").write_text(
+        "model = dict(loss_bbox=dict(type='Sph2PobIoULoss', mode='iou'),\n"
+        "             depth=50)\n")
+    (tmp_path / "leaf.py").write_text(
+        "_base_ = ['base.py']\n"
+        "model = dict(loss_bbox=dict(_delete_=True, type='SphL1Loss'))\n")
+    cfg = load_config(str(tmp_path / "leaf.py"))
+    assert cfg["model"]["loss_bbox"] == {"type": "SphL1Loss"}
+    assert cfg["model"]["depth"] == 50  # siblings still merge

@@ -161,3 +161,20 @@ def test_empty_inputs():
     boxes = jnp.asarray(generate_boxes(4, 4, seed=8))
     out = sph_overlaps(empty, boxes, "sph2pob_efficient", is_aligned=False)
     assert out.shape == (0, 4)
+
+
+def test_reference_backend_spellings_alias():
+    """Reference leaf configs name assigner backends by the API function
+    (sph2pob_standard_iou etc., sph_iou_api.py:91-98); both spellings must
+    dispatch to the same kernel."""
+    import numpy as np
+
+    from sph_retina_tpu.geometry import generate_boxes
+    from sph_retina_tpu.iou import sph_overlaps
+
+    b1 = generate_boxes(64, 4, seed=1)
+    b2 = generate_boxes(64, 4, seed=2)
+    for short in ("sph2pob_standard", "sph2pob_efficient", "sph2pob_legacy"):
+        a = np.asarray(sph_overlaps(b1, b2, short, is_aligned=True))
+        b = np.asarray(sph_overlaps(b1, b2, short + "_iou", is_aligned=True))
+        np.testing.assert_array_equal(a, b)
