@@ -43,6 +43,7 @@ def build_detector_config(cfg: dict) -> DetectorConfig:
     test_cfg = cfg.get("test_cfg", {})
     box_version = m.get("box_version", 4)
     anchor_cfg = dict(m.get("anchor_generator", {}))
+    anchor_cfg.pop("type", None)  # registry name in ported reference configs
     anchor_cfg.setdefault("strides", [8, 16, 32, 64, 128])
     anchor_cfg.setdefault("ratios", [0.5, 1.0, 2.0])
     anchor_cfg.setdefault("octave_base_scale", 4)

@@ -166,3 +166,36 @@ def test_base_merge_delete_semantics(tmp_path):
     cfg = load_config(str(tmp_path / "leaf.py"))
     assert cfg["model"]["loss_bbox"] == {"type": "SphL1Loss"}
     assert cfg["model"]["depth"] == 50  # siblings still merge
+
+
+def test_reference_style_model_dict_builds():
+    """A model dict carrying the reference's registry `type` keys and
+    backend spellings builds without edits (config-port path)."""
+    from sph_retina_tpu.engine.builder import build_detector_config
+
+    cfg = {
+        "model": {
+            "num_classes": 5,
+            "anchor_generator": {
+                "type": "SphAnchorGenerator",
+                "box_formator": "sph2pix",
+                "octave_base_scale": 4,
+                "scales_per_octave": 3,
+                "ratios": [0.5, 1.0, 2.0],
+                "strides": [8, 16, 32, 64, 128],
+            },
+            "bbox_coder": {"type": "DeltaXYWHSphBBoxCoder",
+                           "target_means": [0.0] * 4,
+                           "target_stds": [1.0] * 4},
+        },
+        "train_cfg": {"assigner": {
+            "type": "MaxIoUAssigner", "pos_iou_thr": 0.5,
+            "neg_iou_thr": 0.4, "min_pos_iou": 0,
+            "iou_calculator": {"type": "SphOverlaps2D"},
+            "backend": "sph2pob_efficient_iou"}},
+        "test_cfg": {"iou_calculator": "naive_iou"},
+        "img_size": (64, 128),
+    }
+    det = build_detector_config(cfg)
+    assert det.assign_backend == "sph2pob_efficient_iou"
+    assert det.flat_anchors().shape[1] == 4
