@@ -53,7 +53,9 @@ def _pairwise_iou(boxes: jax.Array, backend: str) -> jax.Array:
         from ..iou.rotated import rotated_box_iou
 
         return rotated_box_iou(planar[:, None, :], planar[None, :, :])
-    if backend in ("sph2pob_efficient", "sph2pob") and _on_tpu():
+    from ..iou.api import canonical_backend
+
+    if canonical_backend(backend) == "sph2pob_efficient" and _on_tpu():
         return sph2pob_iou_pairwise_tpu(boxes, boxes)
     return sph_overlaps(boxes, boxes, backend)
 

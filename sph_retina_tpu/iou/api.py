@@ -107,29 +107,39 @@ _BACKENDS = {
     "sph2pob_standard": partial(_sph2pob_iou_elementwise, variant="sph2pob_standard"),
     "sph2pob_efficient": partial(_sph2pob_iou_elementwise, variant="sph2pob_efficient"),
     "sph2pob_legacy": partial(_sph2pob_iou_elementwise, variant="sph2pob_legacy"),
-    "sph2pob": partial(_sph2pob_iou_elementwise, variant="sph2pob_efficient"),
-    # reference config spellings (sph_iou_api.py:91-98 function names used
-    # as assigner backend strings in leaf configs, e.g.
-    # configs/retinanet/sph_retinanet_r50_fpn_120e_pandora.py:30)
-    "sph2pob_standard_iou": partial(_sph2pob_iou_elementwise,
-                                    variant="sph2pob_standard"),
-    "sph2pob_efficient_iou": partial(_sph2pob_iou_elementwise,
-                                     variant="sph2pob_efficient"),
-    "sph2pob_legacy_iou": partial(_sph2pob_iou_elementwise,
-                                  variant="sph2pob_legacy"),
     "unbiased": _unbiased_deg,
-    "unbiased_iou": _unbiased_deg,
     "sph": _sph_deg,
-    "sph_iou": _sph_deg,
     "fov": _fov_deg,
-    "fov_iou": _fov_deg,
     "naive": _naive_deg,
-    "naive_iou": _naive_deg,
     "kent": _kent_deg,
-    "kent_iou": _kent_deg,
 }
 
-BACKENDS = tuple(sorted(set(_BACKENDS)))
+# Reference config spellings (the `*_iou` function names of
+# /root/reference/sphdet/iou/sph_iou_api.py:91-98 appear as backend strings
+# in leaf configs, e.g. configs/retinanet/sph_retinanet_r50_fpn_120e_pandora.py:30).
+# Every dispatch point canonicalizes first, so alias spellings hit the same
+# fast paths (fused Pallas kernels) as the short names.
+_ALIASES = {
+    "sph2pob": "sph2pob_efficient",
+    "sph2pob_standard_iou": "sph2pob_standard",
+    "sph2pob_efficient_iou": "sph2pob_efficient",
+    "sph2pob_legacy_iou": "sph2pob_legacy",
+    "unbiased_iou": "unbiased",
+    "sph_iou": "sph",
+    "fov_iou": "fov",
+    "naive_iou": "naive",
+    "kent_iou": "kent",
+}
+
+
+def canonical_backend(name: str) -> str:
+    """Resolve a backend name or reference-spelling alias to its canonical
+    form (does not validate: unknown names pass through for the caller's
+    error message)."""
+    return _ALIASES.get(name, name)
+
+
+BACKENDS = tuple(sorted(set(_BACKENDS) | set(_ALIASES)))
 
 
 def sph_overlaps(
@@ -150,6 +160,7 @@ def sph_overlaps(
     Returns:
         IoU in [0, 1]; float32.
     """
+    backend = canonical_backend(backend)
     if backend not in _BACKENDS:
         raise ValueError(f"unknown IoU backend {backend!r}; choose from {BACKENDS}")
     fn = _BACKENDS[backend]

@@ -160,8 +160,11 @@ class ResNet(nn.Module):
             for b in range(n_blocks):
                 expansion = 4 if block_kind == "bottleneck" else 1
                 need_down = b == 0 and (stride != 1 or x.shape[-1] != planes * expansion)
+                # keyed on block_kind, NOT `block is Bottleneck` — nn.remat
+                # rebinds `block` to a wrapper class and an identity check
+                # would silently drop the ResNeXt groups/base_width
                 kw = {"groups": self.groups, "base_width": self.base_width} \
-                    if block is Bottleneck else {}
+                    if block_kind == "bottleneck" else {}
                 x = block(planes, stride if b == 0 else 1, need_down,
                           self.dtype, name=f"layer{stage + 1}_{b}", **kw)(x)
             if stage in self.out_indices:

@@ -160,7 +160,9 @@ def _batch_pairwise_iou(gt: jax.Array, anchors: jax.Array, backend: str):
 
     b, g, d = gt.shape
     flat = gt.reshape(b * g, d)
-    if backend in ("sph2pob_efficient", "sph2pob") and _on_tpu():
+    from ..iou.api import canonical_backend
+
+    if canonical_backend(backend) == "sph2pob_efficient" and _on_tpu():
         iou = sph2pob_iou_pairwise_tpu(flat, anchors)
     else:
         from ..iou.api import sph_overlaps

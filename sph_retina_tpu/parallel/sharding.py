@@ -27,6 +27,8 @@ the jitted train step stays unchanged — XLA inserts the collectives
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -129,8 +131,6 @@ def sharded_pairwise_overlaps(b1, b2, mesh: Mesh, backend: str = "sph2pob_effici
     """
     import jax.numpy as jnp
 
-    from ..iou.api import sph_overlaps
-
     axis = mesh.shape[DATA_AXIS]
     n = b1.shape[0]
     pad = (-n) % axis
@@ -140,9 +140,14 @@ def sharded_pairwise_overlaps(b1, b2, mesh: Mesh, backend: str = "sph2pob_effici
     b1p = jax.device_put(b1p, NamedSharding(mesh, P(DATA_AXIS, None)))
     b2r = jax.device_put(jnp.asarray(b2), NamedSharding(mesh, P()))
 
-    @jax.jit
-    def f(x, y):
-        return sph_overlaps(x, y, backend, is_aligned=False)
-
-    out = f(b1p, b2r)
+    out = _pairwise_jit(b1p, b2r, backend)
     return out[:n] if pad else out
+
+
+@functools.partial(jax.jit, static_argnames="backend")
+def _pairwise_jit(x, y, backend):
+    # module-level jit: repeat calls with the same shapes/backend hit the
+    # compile cache instead of re-tracing a fresh closure per call
+    from ..iou.api import sph_overlaps
+
+    return sph_overlaps(x, y, backend, is_aligned=False)

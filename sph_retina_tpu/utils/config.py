@@ -17,6 +17,14 @@ import runpy
 from typing import Any
 
 
+def _strip_delete(v):
+    """Drop ``_delete_`` markers from a config subtree (mmcv pops the key
+    whatever its value, so it must never reach consumers)."""
+    if isinstance(v, dict):
+        return {k: _strip_delete(x) for k, x in v.items() if k != "_delete_"}
+    return copy.deepcopy(v)
+
+
 def _deep_merge(base: dict, override: dict) -> dict:
     out = copy.deepcopy(base)
     for k, v in override.items():
@@ -25,12 +33,12 @@ def _deep_merge(base: dict, override: dict) -> dict:
             # wholesale instead of merging into it (needed when a child
             # swaps e.g. loss_bbox.type and the parent's kwargs must not
             # leak into the new type's signature).
-            out[k] = {kk: copy.deepcopy(vv) for kk, vv in v.items()
-                      if kk != "_delete_"}
+            out[k] = _strip_delete(v)
         elif isinstance(v, dict) and isinstance(out.get(k), dict):
-            out[k] = _deep_merge(out[k], v)
+            out[k] = _deep_merge(out[k], _strip_delete(v)
+                                 if "_delete_" in v else v)
         else:
-            out[k] = copy.deepcopy(v)
+            out[k] = _strip_delete(v) if isinstance(v, dict) else copy.deepcopy(v)
     return out
 
 

@@ -199,3 +199,16 @@ def test_reference_style_model_dict_builds():
     det = build_detector_config(cfg)
     assert det.assign_backend == "sph2pob_efficient_iou"
     assert det.flat_anchors().shape[1] == 4
+
+
+def test_delete_false_is_stripped(tmp_path):
+    """mmcv pops _delete_ whatever its value; _delete_=False merges
+    normally but the marker must not leak to consumers."""
+    (tmp_path / "base.py").write_text(
+        "model = dict(loss_bbox=dict(type='Sph2PobIoULoss', mode='iou'))\n")
+    (tmp_path / "leaf.py").write_text(
+        "_base_ = ['base.py']\n"
+        "model = dict(loss_bbox=dict(_delete_=False, loss_weight=2.0))\n")
+    cfg = load_config(str(tmp_path / "leaf.py"))
+    assert cfg["model"]["loss_bbox"] == {
+        "type": "Sph2PobIoULoss", "mode": "iou", "loss_weight": 2.0}

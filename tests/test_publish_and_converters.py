@@ -185,6 +185,7 @@ def test_cityscapes_converter(tmp_path):
     inst[:10, :20] = 7            # stuff label (< 24): ignored
     inst[20:40, 40:80] = 26000    # car instance
     inst[50:60, 100:120] = 24     # person crowd region (id < 1000)
+    inst[5:15, 150:170] = 24      # second, DISJOINT person crowd region
     inst[70:90, 150:190] = 33002  # bicycle instance
     gt = tmp_path / "gtFine" / "aachen"
     gt.mkdir(parents=True)
@@ -200,14 +201,19 @@ def test_cityscapes_converter(tmp_path):
     assert img["width"] == w and img["height"] == h
 
     anns = sorted(res["annotations"], key=lambda a: a["category_id"])
-    assert [a["category_id"] for a in anns] == [1, 3, 8]  # person, car, bike
-    assert [a["iscrowd"] for a in anns] == [1, 0, 0]
+    # disjoint crowd pixels of one label split into separate iscrowd
+    # records (reference: one record per crowd polygon), never one box
+    # spanning both regions
+    assert [a["category_id"] for a in anns] == [1, 1, 3, 8]
+    assert [a["iscrowd"] for a in anns] == [1, 1, 0, 0]
+    crowd_widths = sorted(a["bbox"][2] for a in anns[:2])
+    assert crowd_widths == [20 / w * 360.0, 20 / w * 360.0]
     # car pixel box (40,20)-(80,40) on 200x100 -> BFoV degrees
-    np.testing.assert_allclose(anns[1]["bbox"], [108.0, 54.0, 72.0, 36.0])
-    assert anns[1]["area"] == 20 * 40
+    np.testing.assert_allclose(anns[2]["bbox"], [108.0, 54.0, 72.0, 36.0])
+    assert anns[2]["area"] == 20 * 40
 
     from sph_retina_tpu.data import SphCocoDataset
 
     ds = SphCocoDataset(ann_file=str(out))
     assert ds.num_classes == 8
-    assert ds[0]["boxes"].shape == (2, 4)  # crowd region skipped
+    assert ds[0]["boxes"].shape == (2, 4)  # crowd regions skipped

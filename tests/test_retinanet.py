@@ -213,3 +213,22 @@ def test_remat_backbone_identical_math():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_remat_preserves_resnext_width():
+    """Regression: nn.remat rebinds the block class, so the ResNeXt
+    groups/base_width threading must key on block_kind — with remat on,
+    an X-variant backbone must produce identical param shapes."""
+    from sph_retina_tpu.models.resnet import ResNet
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 64, 3))
+    v0 = ResNet(depth=50, groups=32, base_width=4,
+                dtype=jnp.float32).init(jax.random.PRNGKey(1), x)
+    v1 = ResNet(depth=50, groups=32, base_width=4, remat=True,
+                dtype=jnp.float32).init(jax.random.PRNGKey(1), x)
+    s0 = jax.tree_util.tree_map(lambda a: a.shape, v0)
+    s1 = jax.tree_util.tree_map(lambda a: a.shape, v1)
+    assert s0 == s1
+    # the grouped 3x3 actually is ResNeXt-wide: width = 64*(4/64)*32 = 128
+    k = v1["params"]["layer1_0"]["conv2"]["kernel"]
+    assert k.shape == (3, 3, 128 // 32, 128)

@@ -178,3 +178,16 @@ def test_reference_backend_spellings_alias():
         a = np.asarray(sph_overlaps(b1, b2, short, is_aligned=True))
         b = np.asarray(sph_overlaps(b1, b2, short + "_iou", is_aligned=True))
         np.testing.assert_array_equal(a, b)
+
+
+def test_canonical_backend_resolution():
+    """Alias spellings canonicalize so every dispatch point (including the
+    fused-kernel fast paths keyed on the canonical name) treats them
+    identically."""
+    from sph_retina_tpu.iou.api import canonical_backend
+
+    assert canonical_backend("sph2pob_efficient_iou") == "sph2pob_efficient"
+    assert canonical_backend("sph2pob") == "sph2pob_efficient"
+    assert canonical_backend("unbiased_iou") == "unbiased"
+    assert canonical_backend("naive") == "naive"
+    assert canonical_backend("nonsense") == "nonsense"  # pass-through

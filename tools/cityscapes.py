@@ -20,6 +20,10 @@ import argparse
 import glob
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from chart_util import pix2bfov  # noqa: E402
 
 # The 8 instance-having Cityscapes classes (cityscapesscripts labels.py:
 # hasInstances=True), id -> name, in the reference's category order.
@@ -33,16 +37,42 @@ GT_SUFFIX = "gtFine_instanceIds.png"
 IMG_SUFFIX = "leftImg8bit.png"
 
 
-def pix2bfov(x1, y1, x2, y2, w, h):
-    """Pixel xyxy -> BFoV degrees on the image's ERP chart."""
-    cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
-    return [cx / w * 360.0, cy / h * 180.0,
-            (x2 - x1) / w * 360.0, (y2 - y1) / h * 180.0]
+def _connected_components(mask):
+    """4-connected component masks of a boolean image (BFS, numpy-only —
+    crowd regions are rare enough that this never dominates)."""
+    import numpy as np
+
+    remaining = mask.copy()
+    comps = []
+    while remaining.any():
+        ys, xs = np.nonzero(remaining)
+        comp = np.zeros_like(mask)
+        comp[ys[0], xs[0]] = True
+        while True:
+            # dilate by one 4-neighborhood step, clipped to the mask
+            grown = comp.copy()
+            grown[1:, :] |= comp[:-1, :]
+            grown[:-1, :] |= comp[1:, :]
+            grown[:, 1:] |= comp[:, :-1]
+            grown[:, :-1] |= comp[:, 1:]
+            grown &= remaining
+            if (grown == comp).all():
+                break
+            comp = grown
+        comps.append(comp)
+        remaining &= ~comp
+    return comps
 
 
 def instances_from_idmap(inst_img):
     """(label_id, iscrowd, x1, y1, x2, y2, area) per instance in an
-    instance-id map (reference load_img_info semantics, bbox-only)."""
+    instance-id map (reference load_img_info semantics, bbox-only).
+
+    Crowd pixels (id < 1000) share ONE id per label, unlike real instances;
+    a single bbox over all of them would span unrelated regions (e.g. two
+    persongroups at opposite image edges), so crowd ids are split into
+    connected components first — matching the reference's per-polygon crowd
+    records."""
     import numpy as np
 
     out = []
@@ -51,10 +81,14 @@ def instances_from_idmap(inst_img):
         label_id = inst_id // 1000 if inst_id >= 1000 else inst_id
         if label_id not in CITYSCAPES_INSTANCE_LABELS:
             continue
-        ys, xs = np.nonzero(inst_img == inst_id)
-        out.append((label_id, int(inst_id < 1000),
-                    int(xs.min()), int(ys.min()),
-                    int(xs.max()) + 1, int(ys.max()) + 1, int(len(xs))))
+        mask = inst_img == inst_id
+        iscrowd = int(inst_id < 1000)
+        regions = _connected_components(mask) if iscrowd else [mask]
+        for region in regions:
+            ys, xs = np.nonzero(region)
+            out.append((label_id, iscrowd,
+                        int(xs.min()), int(ys.min()),
+                        int(xs.max()) + 1, int(ys.max()) + 1, int(len(xs))))
     return out
 
 

@@ -21,6 +21,10 @@ import argparse
 import glob
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from chart_util import pix2bfov  # noqa: E402
 import xml.etree.ElementTree as ET
 
 VOC_CLASSES = (
@@ -28,13 +32,6 @@ VOC_CLASSES = (
     "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
     "pottedplant", "sheep", "sofa", "train", "tvmonitor",
 )
-
-
-def pix2bfov(x1, y1, x2, y2, w, h):
-    """Pixel xyxy -> BFoV degrees on the image's ERP chart."""
-    cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
-    return [cx / w * 360.0, cy / h * 180.0,
-            (x2 - x1) / w * 360.0, (y2 - y1) / h * 180.0]
 
 
 def convert(xml_dir: str, out_file: str, img_dir: str = "",
