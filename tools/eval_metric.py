@@ -34,10 +34,9 @@ def main():
                         "tool never waits on a TPU tunnel")
     args = p.parse_args()
 
-    import jax
+    from sph_retina_tpu.utils.device import pin_platform
 
-    jax.config.update("jax_platforms",
-                      "axon" if args.device == "tpu" else args.device)
+    pin_platform(args.device)
 
     from sph_retina_tpu.engine.analysis import _unpack, load_raw_results
     from sph_retina_tpu.engine.eval import eval_spherical_map
