@@ -1,0 +1,77 @@
+"""Small pure-host CLI tools: convert_anno and analyze_logs.
+
+Parity targets: /root/reference/tools/convert_anno.py (raw radian boxes ->
+degree "chenbin" format) and /root/reference/tools/analysis_tools/
+analyze_logs.py (curve plotting + train-time stats over the run log).
+"""
+
+import json
+import math
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _run(args, timeout=300):
+    p = subprocess.run(
+        [sys.executable] + args, cwd=REPO, timeout=timeout,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    assert p.returncode == 0, p.stdout[-2000:]
+    return p.stdout
+
+
+def test_convert_anno_radians_to_degrees(tmp_path):
+    raw = {
+        "images": [{"id": 1, "file_name": "a.png", "width": 8, "height": 4}],
+        "annotations": [
+            # lon=0, lat=0 (equator, prime meridian) -> theta=180, phi=90
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [0.0, 0.0, 40.0, 20.0], "area": 1, "iscrowd": 0},
+            # lon=-pi/2, lat=pi/4 -> theta=90, phi=45
+            {"id": 2, "image_id": 1, "category_id": 1,
+             "bbox": [-math.pi / 2, math.pi / 4, 30.0, 30.0], "area": 1,
+             "iscrowd": 0},
+        ],
+        "categories": [{"id": 1, "name": "x"}],
+    }
+    src = tmp_path / "raw.json"
+    src.write_text(json.dumps(raw))
+    out = tmp_path / "deg.json"
+    _run(["tools/convert_anno.py", str(src), "--out", str(out)])
+    deg = json.loads(out.read_text())
+    b1, b2 = (a["bbox"] for a in deg["annotations"])
+    assert b1[:2] == [180.0, 90.0] and b1[2:] == [40.0, 20.0]
+    assert abs(b2[0] - 90.0) < 1e-9 and abs(b2[1] - 45.0) < 1e-9
+    # in-place conversion (the documented default) also works
+    _run(["tools/convert_anno.py", str(src)])
+    again = json.loads(src.read_text())
+    assert again["annotations"][0]["bbox"][:2] == [180.0, 90.0]
+
+
+def test_analyze_logs_curves_and_train_time(tmp_path):
+    log = tmp_path / "metrics.jsonl"
+    records = []
+    t = 1000.0
+    for step in range(1, 9):
+        t += 2.0 if step < 5 else 4.0
+        records.append({"step": step, "prefix": "train",
+                        "loss": 1.0 / step, "loss_cls": 0.5 / step,
+                        "time": t})
+    records.append({"step": 8, "prefix": "val", "AP50": 0.5, "time": t + 1})
+    records.append({"step": 4, "prefix": "epoch", "epoch": 0,
+                    "epoch_time": 2.0, "time": t + 2})
+    records.append({"step": 8, "prefix": "epoch", "epoch": 1,
+                    "epoch_time": 4.0, "time": t + 3})
+    log.write_text("\n".join(json.dumps(r) for r in records) + "\n")
+
+    png = tmp_path / "curves.png"
+    out = _run(["tools/analyze_logs.py", "plot_curve", str(log),
+                "--keys", "loss", "loss_cls", "--out", str(png)])
+    assert png.exists() and png.stat().st_size > 0
+    assert "saved" in out
+
+    out = _run(["tools/analyze_logs.py", "cal_train_time", str(log)])
+    assert "epochs: 2" in out and "mean: 3.00s" in out
+    assert "fastest: 2.00s" in out and "slowest: 4.00s" in out
