@@ -30,7 +30,12 @@ def main():
                    help="also benchmark the fused Pallas kernel")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args()
+
+    from sph_retina_tpu.utils.device import pin_platform
+
+    pin_platform(args.device)
 
     import jax
     import jax.numpy as jnp
