@@ -75,3 +75,31 @@ def test_analyze_logs_curves_and_train_time(tmp_path):
     out = _run(["tools/analyze_logs.py", "cal_train_time", str(log)])
     assert "epochs: 2" in out and "mean: 3.00s" in out
     assert "fastest: 2.00s" in out and "slowest: 4.00s" in out
+
+
+def test_benchmark_iou_smoke(tmp_path):
+    """The headline-table harness runs on CPU at a tiny size and reports
+    the oracle statistics (time, error stats, Pearson R) per backend."""
+    out = _run(["tools/benchmark_iou.py", "--size", "500", "--iters", "2",
+                "--backends", "sph2pob_efficient", "--device", "cpu"])
+    line = [l for l in out.splitlines() if l.startswith("{")][0]
+    rec = json.loads(line)
+    assert rec["backend"] == "sph2pob_efficient"
+    assert rec["pearson_r"] > 0.99
+    assert rec["mean_err"] < 0.01
+
+
+def test_benchmark_fps_smoke(tmp_path):
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "model = dict(type='SphRetinaNet', num_classes=3,\n"
+        "             backbone=dict(depth=18))\n"
+        "img_size = (64, 128)\n"
+        "bf16 = False\n")
+    out = _run(["tools/benchmark_fps.py", str(cfg), "--batch-size", "1",
+                "--max-iter", "4", "--warmup", "1", "--device", "cpu"],
+               timeout=600)
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["img_per_s"] > 0 and rec["batch_size"] == 1
+    assert rec["img_size"] == [64, 128]
