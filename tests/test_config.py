@@ -212,3 +212,34 @@ def test_delete_false_is_stripped(tmp_path):
     cfg = load_config(str(tmp_path / "leaf.py"))
     assert cfg["model"]["loss_bbox"] == {
         "type": "Sph2PobIoULoss", "mode": "iou", "loss_weight": 2.0}
+
+
+def test_pandora_preset_unbiased_nms_predicts():
+    """The PANDORA preset evaluates with the exact unbiased-IoU NMS
+    (reference pandora leaf, sph_retinanet_r50_fpn_120e_pandora.py:33);
+    the predict path must compile and produce finite scores."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from sph_retina_tpu.engine.zoo import get_family
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    cfg = load_config(os.path.join(
+        repo, "configs", "sph_retinanet_r50_fpn_120e_pandora.py"))
+    assert cfg["model"]["num_classes"] == 47
+    assert cfg["model"].get("box_version", 4) == 4  # BFoV, like the reference
+    cfg["img_size"] = (64, 128)
+    cfg["model"]["backbone"] = {"depth": 18}
+    cfg["bf16"] = False
+    cfg["test_cfg"]["nms_pre"] = 64  # keep the (k, k) oracle matrix tiny on CPU
+    cfg["test_cfg"]["max_per_img"] = 10
+    fam = get_family(cfg)
+    model, det = fam.build(cfg)
+    assert det.nms_backend == "unbiased_iou"
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 128, 3))
+    v = fam.init(model, jax.random.PRNGKey(0), imgs)
+    out = fam.predict_fn(model, det)(v, imgs)
+    assert out.boxes.shape == (1, 10, 4)
+    assert np.isfinite(np.asarray(out.scores)).all()
