@@ -103,3 +103,18 @@ def test_benchmark_fps_smoke(tmp_path):
     rec = json.loads(line)
     assert rec["img_per_s"] > 0 and rec["batch_size"] == 1
     assert rec["img_size"] == [64, 128]
+
+
+def test_profile_step_memory_smoke(tmp_path):
+    """--memory compiles the train step with remat off/on and reports the
+    XLA buffer-assignment delta (the remat HBM quantification path)."""
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "model = dict(type='SphRetinaNet', num_classes=3,\n"
+        "             backbone=dict(depth=18))\n"
+        "img_size = (64, 128)\n"
+        "bf16 = False\n")
+    out = _run(["tools/profile_step.py", str(cfg), "--memory",
+                "--batch-size", "1", "--device", "cpu"], timeout=900)
+    assert "remat=False" in out and "remat=True" in out
+    assert "remat saves" in out or "unavailable" in out

@@ -16,6 +16,51 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def report_memory(cfg, tx, batch, rng):
+    """Compile (don't run) the train step with backbone remat off vs on and
+    print XLA's buffer assignment for each: ``temp_size`` is the
+    activation/workspace HBM the executable reserves, i.e. the number
+    gradient checkpointing exists to shrink. Compiling for the real TPU
+    target gives the allocation the runtime would actually make
+    (``device.memory_stats()`` is unavailable over the axon tunnel, and
+    CPU-backend temp sizes are not comparable).
+    """
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from sph_retina_tpu.engine.train import TrainState
+    from sph_retina_tpu.engine.zoo import get_family, make_generic_train_step
+
+    rows = []
+    for remat in (False, True):
+        c = copy.deepcopy(cfg)
+        c["model"].setdefault("backbone", {})["remat"] = remat
+        family = get_family(c)
+        model, det_cfg = family.build(c)
+        variables = family.init(model, rng, batch["images"][:1])
+        state = TrainState(jnp.zeros((), jnp.int32), variables["params"],
+                           variables.get("batch_stats", {}),
+                           tx.init(variables["params"]))
+        step = jax.jit(make_generic_train_step(family, model, det_cfg, tx),
+                       donate_argnums=0)
+        mem = step.lower(state, batch).compile().memory_analysis()
+        if mem is None:
+            print("memory_analysis unavailable on this backend")
+            return
+        rows.append((remat, mem))
+        print(f"remat={remat}: temp={mem.temp_size_in_bytes/2**20:.1f} MiB  "
+              f"args={mem.argument_size_in_bytes/2**20:.1f} MiB  "
+              f"out={mem.output_size_in_bytes/2**20:.1f} MiB  "
+              f"(aliased {mem.alias_size_in_bytes/2**20:.1f} MiB)")
+    base, ckpt = rows[0][1], rows[1][1]
+    saved = (base.temp_size_in_bytes - ckpt.temp_size_in_bytes) / 2**20
+    pct = 100.0 * saved / max(base.temp_size_in_bytes / 2**20, 1e-9)
+    print(f"remat saves {saved:.1f} MiB of temp HBM ({pct:.1f}%) "
+          f"at batch {batch['images'].shape[0]}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("config")
@@ -24,6 +69,13 @@ def main():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"])
     p.add_argument("--cfg-options", nargs="*", default=None)
+    p.add_argument("--memory", action="store_true",
+                   help="instead of tracing, print the compiled train step's "
+                        "XLA buffer assignment (argument/output/temp bytes) "
+                        "with backbone remat off vs on — quantifies the HBM "
+                        "saved by gradient checkpointing on the compile "
+                        "target (device memory_stats is unavailable over "
+                        "the axon tunnel)")
     args = p.parse_args()
 
     import jax
@@ -57,6 +109,9 @@ def main():
         "gt_labels": jnp.zeros((b, g), jnp.int32),
         "gt_mask": jnp.ones((b, g), bool),
     }
+    if args.memory:
+        return report_memory(cfg, tx, batch, rng)
+
     variables = family.init(model, rng, images[:1])
     state = TrainState(jnp.zeros((), jnp.int32), variables["params"],
                        variables.get("batch_stats", {}),
