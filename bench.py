@@ -242,6 +242,18 @@ def bench_retinanet(batch=8, h=512, w=1024, max_gt=16, n_timed=10):
     return train_ips, infer_ips, train_dev, infer_dev
 
 
+def _checkpoint_partial(result):
+    """Persist the best-so-far result so a supervisor can salvage it if this
+    child is killed mid-extras (tunnel hang / attempt timeout)."""
+    path = os.environ.get("BENCH_PARTIAL_FILE")
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(result))
+    os.replace(tmp, path)  # atomic: never a half-written JSON
+
+
 def run_benchmarks():
     _import_jax()
     pairs_s = bench_iou()
@@ -256,11 +268,15 @@ def run_benchmarks():
         result["extra"] = extra
         print(json.dumps(result))
         return
+    result["extra"] = extra
+    extra["partial"] = True  # overwritten by the final full emit
+    _checkpoint_partial(result)
     try:
         extra["pairwise_131kx128_pairs_per_sec"] = round(bench_pairwise())
         extra["unbiased_oracle_1m_pairs_seconds"] = round(bench_unbiased(), 4)
     except Exception as e:
         extra["kernel_error"] = f"{type(e).__name__}: {e}"[:200]
+    _checkpoint_partial(result)
     try:
         train_ips, infer_ips, train_dev, infer_dev = bench_retinanet()
         extra.update({
@@ -276,7 +292,8 @@ def run_benchmarks():
         })
     except Exception as e:  # never lose the primary metric to a flaky extra
         extra["error"] = f"{type(e).__name__}: {e}"[:200]
-    result["extra"] = extra
+    extra.pop("partial", None)
+    _checkpoint_partial(result)
     print(json.dumps(result))
 
 
@@ -290,16 +307,21 @@ def main():
     of a lost BENCH_r*.json. The child's single JSON line is re-emitted
     verbatim; its stderr passes through for logging.
     """
+    import tempfile
+
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
     retry_wait = float(os.environ.get("BENCH_RETRY_WAIT", "90"))
+    partial_file = os.path.join(
+        tempfile.gettempdir(), f"sph_retina_bench_partial_{os.getpid()}.json")
     last_err = "no attempts ran"
     for i in range(attempts):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--run"],
                 stdout=subprocess.PIPE, timeout=attempt_timeout,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env={**os.environ, "BENCH_PARTIAL_FILE": partial_file})
             lines = [l for l in proc.stdout.decode().splitlines() if l.strip()]
             if proc.returncode == 0 and lines:
                 json.loads(lines[-1])  # must be the one JSON result line
@@ -314,6 +336,17 @@ def main():
               file=sys.stderr)
         if i + 1 < attempts:
             time.sleep(retry_wait)
+    # All attempts failed outright — salvage the last checkpointed partial
+    # (primary metric + whatever extras completed) rather than report zero.
+    try:
+        with open(partial_file) as f:
+            partial = json.loads(f.read())
+        partial.setdefault("extra", {})["error"] = (
+            f"attempts failed ({last_err}); partial result salvaged")
+        print(json.dumps(partial))
+        return
+    except (OSError, json.JSONDecodeError):
+        pass
     print(json.dumps({"metric": "sph2pob_iou_pairs_per_sec", "value": 0,
                       "unit": "pairs/s", "vs_baseline": 0.0,
                       "extra": {"error": f"all attempts failed: {last_err}"}}))

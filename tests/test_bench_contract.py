@@ -43,3 +43,17 @@ def test_bench_supervisor_survives_hung_child():
                 "BENCH_RETRY_WAIT": "1"}, timeout=120)
     assert out["value"] == 0
     assert "error" in out["extra"]
+
+
+def test_bench_salvages_partial_on_timeout():
+    """A child killed mid-extras must still yield the checkpointed primary
+    metric (partial salvage), not a zero result."""
+    out = _run({"BENCH_ATTEMPTS": "1", "BENCH_ATTEMPT_TIMEOUT": "90",
+                "BENCH_RETRY_WAIT": "1",
+                # extras on: the 131k x 128 pairwise bench cannot finish
+                # inside 90 s on the single-core CPU backend, so the child
+                # dies after checkpointing the primary metric
+                "BENCH_EXTRA": "1"}, timeout=240)
+    assert out["value"] > 0
+    assert out["extra"].get("partial") is True
+    assert "salvaged" in out["extra"]["error"]
