@@ -44,10 +44,15 @@ def _load():
     if _lib is not None:
         return _lib
     so = next((p for p in _so_candidates() if os.path.exists(p)), None)
-    if so is None:
-        if not _build():
+    repo_so = os.path.join(_NATIVE_DIR, "libsphloader.so")
+    if so is None or os.path.abspath(so) == os.path.abspath(repo_so):
+        # Repo-tree builds are not committed (a binary built on one machine
+        # may not run on another): (re)run make, a no-op when fresh.
+        if not _build() and so is None:
             return None
-        so = os.path.join(_NATIVE_DIR, "libsphloader.so")
+        so = repo_so if os.path.exists(repo_so) else so
+        if so is None:
+            return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:

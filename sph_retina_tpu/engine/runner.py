@@ -195,6 +195,8 @@ def run_training(
 ):
     """The main loop. ``eval_fn(state) -> dict`` runs on eval epochs."""
     step_count = int(state.step)
+    compiled_step = None  # multi-process: AOT-compiled executable
+    first_call = jax.process_count() > 1 and hasattr(train_step, "lower")
     # Resume at the epoch the restored step count implies (mmcv
     # EpochBasedRunner resume semantics) rather than replaying from epoch 0.
     steps_per_epoch = max(1, len(loader)) if hasattr(loader, "__len__") else None
@@ -203,7 +205,26 @@ def run_training(
     for epoch in range(start_epoch, max_epochs):
         t_epoch = time.time()
         for batch in loader.epoch(epoch):
-            state, metrics = train_step(state, shard(batch))
+            global_batch = shard(batch)
+            if first_call:
+                # Multi-process: compile BEFORE the first execution, then
+                # line every rank up at the coordination-service barrier.
+                # The first executed collective initializes its gloo/NCCL
+                # context under a fixed ~30 s rendezvous deadline inside
+                # XLA; without the barrier, a rank whose compile runs >30 s
+                # longer than another's (cold cache, loaded machine) times
+                # the fast rank out. The compiled executable is then used
+                # directly — same static shapes every step by design.
+                from ..parallel import coordination_barrier
+
+                compiled_step = train_step.lower(
+                    state, global_batch).compile()
+                coordination_barrier("train_step_compiled")
+                first_call = False
+            if compiled_step is not None:
+                state, metrics = compiled_step(state, global_batch)
+            else:
+                state, metrics = train_step(state, global_batch)
             step_count += 1
             if step_count % logger.interval == 0:
                 jax.block_until_ready(metrics)

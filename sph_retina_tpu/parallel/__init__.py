@@ -9,6 +9,7 @@ ICI/DCN, and an all-gather based eval-result collection.
 
 from .distributed import (
     all_gather_eval_arrays,
+    coordination_barrier,
     data_mesh,
     host_local_copy,
     init_distributed,
@@ -33,6 +34,7 @@ __all__ = [
     "host_local_copy",
     "all_gather_eval_arrays",
     "sync_global_value",
+    "coordination_barrier",
     "make_mesh",
     "batch_specs",
     "shard_batch_spatial",

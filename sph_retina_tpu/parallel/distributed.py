@@ -73,6 +73,29 @@ def init_distributed(
     return jax.process_index(), jax.process_count()
 
 
+def coordination_barrier(name: str = "barrier", timeout_s: float = 600.0):
+    """Wait until every process reaches this barrier.
+
+    Goes through the distributed coordination service (the channel
+    ``jax.distributed.initialize`` set up), NOT through a device collective —
+    so it is safe to call before any collective executable has run. Use it to
+    line ranks up before their first collective: XLA's CPU gloo rendezvous
+    has a fixed ~30 s key-value deadline, so if one rank finishes compiling
+    the train step >30 s after another, the fast rank's collective context
+    init times out (observed under heavy machine load). Single-process: no-op.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def data_mesh(axis_name: str = "data"):
     """1-D mesh over every device of every process."""
     import jax
