@@ -1,8 +1,12 @@
 """ERP visualization: geometry of drawn boundaries, seam handling, IO."""
 
+import os
+
 import numpy as np
 
 from sph_retina_tpu.visualize import draw_boxes, erp_box_polyline, plot_iou_scatter
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
 def test_polyline_centered_box():
@@ -111,3 +115,51 @@ def test_camera_draw_box_writes_pixels():
     img = np.zeros((128, 256, 3), np.uint8)
     out = cam.draw_box(img, [358.0, 90.0, 30.0, 30.0], color=(0, 255, 0))
     assert out.sum() > 0
+
+
+def test_kent_density_erp_integrates_and_peaks_at_center():
+    """Exact Kent density on the ERP grid: quadrature-normalized to 1, peak
+    at the source box center (vis_kent_samples.py counterpart)."""
+    from sph_retina_tpu.iou import deg2kent
+    from sph_retina_tpu.visualize import kent_density_erp
+
+    params = np.asarray(deg2kent(np.array([[120.0, 60.0, 40.0, 30.0]])))[0]
+    f = kent_density_erp(params, (128, 256))
+    h, w = f.shape
+    phi = (np.arange(h) + 0.5) * np.pi / h
+    integral = np.sum(f * np.sin(phi)[:, None] * (2 * np.pi / w) * (np.pi / h))
+    assert abs(integral - 1.0) < 1e-3
+    iy, ix = np.unravel_index(np.argmax(f), f.shape)
+    assert abs((ix + 0.5) * 360 / w - 120.0) < 3.0
+    assert abs((iy + 0.5) * 180 / h - 60.0) < 3.0
+
+
+def test_kent_sampler_matches_frame_and_anisotropy():
+    """Tangent-Gaussian samples: mean direction = gamma1, spread wider along
+    gamma2 (the beta-major axis) than gamma3."""
+    from sph_retina_tpu.iou import deg2kent
+    from sph_retina_tpu.iou.kent import kent_angles_to_gammas
+    from sph_retina_tpu.visualize import sample_kent
+
+    params = np.asarray(deg2kent(np.array([[200.0, 100.0, 60.0, 20.0]])))[0]
+    g1, g2, g3 = (np.asarray(g).reshape(3)
+                  for g in kent_angles_to_gammas(*params[2:5]))
+    xs = sample_kent(params, 20000, seed=3)
+    mean = xs.mean(0)
+    mean /= np.linalg.norm(mean)
+    assert mean @ g1 > 0.999
+    assert np.var(xs @ g2) > 1.5 * np.var(xs @ g3)
+
+
+def test_vis_kent_cli_writes_png(tmp_path):
+    import subprocess
+    import sys
+
+    out = tmp_path / "kent.png"
+    rc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "vis_kent.py"),
+         "--bfov", "120", "60", "40", "30", "--samples", "50",
+         "--img-size", "64", "128", "--out", str(out)],
+        capture_output=True, text=True, cwd=REPO)
+    assert rc.returncode == 0, rc.stdout + rc.stderr
+    assert out.exists() and out.stat().st_size > 1000
