@@ -312,8 +312,20 @@ def main():
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
     retry_wait = float(os.environ.get("BENCH_RETRY_WAIT", "90"))
-    partial_file = os.path.join(
+    partial_file = os.environ.get("BENCH_PARTIAL_FILE") or os.path.join(
         tempfile.gettempdir(), f"sph_retina_bench_partial_{os.getpid()}.json")
+    # PIDs recycle: a partial left by a crashed *previous* supervisor run
+    # must never be salvaged as this run's result.
+    try:
+        os.unlink(partial_file)
+    except OSError:
+        pass
+
+    def _score(p):
+        """Richness of a partial: primary metric present + extras count."""
+        return (1 if p.get("value") else 0) + len(p.get("extra") or {})
+
+    best_partial = None
     last_err = "no attempts ran"
     for i in range(attempts):
         try:
@@ -326,27 +338,37 @@ def main():
             if proc.returncode == 0 and lines:
                 json.loads(lines[-1])  # must be the one JSON result line
                 print(lines[-1])
+                try:
+                    os.unlink(partial_file)
+                except OSError:
+                    pass
                 return
             last_err = f"rc={proc.returncode}"
         except subprocess.TimeoutExpired:
             last_err = f"timeout after {attempt_timeout:.0f}s (tunnel hang?)"
         except (json.JSONDecodeError, OSError) as e:
             last_err = f"{type(e).__name__}: {e}"[:200]
+        # Collect this attempt's checkpoint before the next attempt's early
+        # (poorer) checkpoint overwrites it; keep the richest seen.
+        try:
+            with open(partial_file) as f:
+                p = json.loads(f.read())
+            if best_partial is None or _score(p) >= _score(best_partial):
+                best_partial = p
+            os.unlink(partial_file)
+        except (OSError, json.JSONDecodeError):
+            pass
         print(f"bench attempt {i + 1}/{attempts} failed: {last_err}",
               file=sys.stderr)
         if i + 1 < attempts:
             time.sleep(retry_wait)
-    # All attempts failed outright — salvage the last checkpointed partial
+    # All attempts failed outright — salvage the richest checkpointed partial
     # (primary metric + whatever extras completed) rather than report zero.
-    try:
-        with open(partial_file) as f:
-            partial = json.loads(f.read())
-        partial.setdefault("extra", {})["error"] = (
+    if best_partial is not None:
+        best_partial.setdefault("extra", {})["error"] = (
             f"attempts failed ({last_err}); partial result salvaged")
-        print(json.dumps(partial))
+        print(json.dumps(best_partial))
         return
-    except (OSError, json.JSONDecodeError):
-        pass
     print(json.dumps({"metric": "sph2pob_iou_pairs_per_sec", "value": 0,
                       "unit": "pairs/s", "vs_baseline": 0.0,
                       "extra": {"error": f"all attempts failed: {last_err}"}}))

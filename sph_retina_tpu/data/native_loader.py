@@ -15,6 +15,8 @@ import subprocess
 
 import numpy as np
 
+from ..utils.hostfp import cpu_feature_fingerprint
+
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
 
@@ -30,13 +32,38 @@ def _so_candidates():
 _lib = None
 
 
-def _build() -> bool:
+def _host_marker() -> str:
+    return os.path.join(_NATIVE_DIR, "libsphloader.so.host")
+
+
+def _built_on_this_host() -> bool:
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
-        return True
+        with open(_host_marker()) as f:
+            return f.read().strip() == cpu_feature_fingerprint()
+    except OSError:
+        return False
+
+
+def _build(force: bool = False) -> bool:
+    """Run make; ``force`` rebuilds even if mtimes say the .so is fresh.
+
+    The .so is compiled with ``-march=native`` (native/Makefile), so a binary
+    carried over from a different machine (sessions migrate VMs) can SIGILL —
+    a host-fingerprint marker written on success makes that detectable, and
+    ``make -B`` overrides the mtime check that would otherwise keep it.
+    """
+    cmd = ["make", "-B", "-C", _NATIVE_DIR] if force else \
+        ["make", "-C", _NATIVE_DIR]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
         return False
+    try:
+        with open(_host_marker(), "w") as f:
+            f.write(cpu_feature_fingerprint())
+    except OSError:
+        pass
+    return True
 
 
 def _load():
@@ -47,9 +74,13 @@ def _load():
     repo_so = os.path.join(_NATIVE_DIR, "libsphloader.so")
     if so is None or os.path.abspath(so) == os.path.abspath(repo_so):
         # Repo-tree builds are not committed (a binary built on one machine
-        # may not run on another): (re)run make, a no-op when fresh.
-        if not _build() and so is None:
-            return None
+        # may not run on another): (re)run make — forced when the .so on
+        # disk was built on a different host, since an mtime-based no-op
+        # would keep the foreign (SIGILL-prone) binary.
+        stale_host = so is not None and not _built_on_this_host()
+        if not _build(force=stale_host):
+            if so is None or stale_host:
+                return None  # nothing usable, or only a foreign binary
         so = repo_so if os.path.exists(repo_so) else so
         if so is None:
             return None

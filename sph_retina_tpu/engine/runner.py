@@ -222,7 +222,16 @@ def run_training(
                 coordination_barrier("train_step_compiled")
                 first_call = False
             if compiled_step is not None:
-                state, metrics = compiled_step(state, global_batch)
+                try:
+                    state, metrics = compiled_step(state, global_batch)
+                except TypeError:
+                    # The AOT executable is pinned to the first batch's
+                    # shapes (safe for every in-tree loader: drop_last +
+                    # fixed max_gt padding), but run_training is public and
+                    # a drop_last=False loader yields a ragged final batch —
+                    # recompile through jit like the single-process path
+                    # rather than crash mid-epoch.
+                    state, metrics = train_step(state, global_batch)
             else:
                 state, metrics = train_step(state, global_batch)
             step_count += 1

@@ -88,12 +88,24 @@ def coordination_barrier(name: str = "barrier", timeout_s: float = 600.0):
 
     if jax.process_count() == 1:
         return
-    from jax._src import distributed
+    try:
+        # Private API (the only jax._src use in the codebase): jax exposes no
+        # public host barrier. Verified against the pinned jax; if an upgrade
+        # moves it, fail loudly — silently skipping would reintroduce the
+        # rendezvous race this barrier exists to prevent.
+        from jax._src import distributed
 
-    client = distributed.global_state.client
-    if client is None:
+        client = distributed.global_state.client
+        wait = client.wait_at_barrier if client is not None else None
+    except (ImportError, AttributeError) as e:
+        raise RuntimeError(
+            "coordination_barrier relies on jax._src.distributed."
+            "global_state.client.wait_at_barrier, which this jax version no "
+            "longer provides — update sph_retina_tpu/parallel/distributed.py "
+            "for the new internal layout") from e
+    if wait is None:
         return
-    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+    wait(name, timeout_in_ms=int(timeout_s * 1000))
 
 
 def data_mesh(axis_name: str = "data"):

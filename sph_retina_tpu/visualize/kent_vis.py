@@ -26,7 +26,25 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..iou.kent import kent_angles_to_gammas
+
+def kent_angles_to_gammas(alpha, psi, eta):
+    """(alpha, psi, eta) -> (gamma1, gamma2, gamma3) orthonormal frame.
+
+    numpy twin of ``iou/kent.py:kent_angles_to_gammas`` (property-tested
+    against it) so the visualize package stays numpy-only — importing it
+    must never pull in jax or risk initializing a device backend.
+    """
+    ca, sa = np.cos(alpha), np.sin(alpha)
+    cp, sp = np.cos(psi), np.sin(psi)
+    ce, se = np.cos(eta), np.sin(eta)
+    g1 = np.stack([ca, sa * ce, sa * se], axis=-1)
+    g2 = np.stack(
+        [-cp * sa, cp * ca * ce - sp * se, cp * ca * se + sp * ce], axis=-1
+    )
+    g3 = np.stack(
+        [sp * sa, -sp * ca * ce - cp * se, -sp * ca * se + cp * ce], axis=-1
+    )
+    return g1, g2, g3
 
 
 def erp_grid_directions(img_size=(256, 512)):

@@ -6,26 +6,14 @@ is already imported when pytest starts, so env vars alone are too late:
 initialization (i.e., before any test touches an array).
 """
 
-import hashlib
 import os
-import tempfile
+import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def _cpu_cache_dir():
-    """Per-CPU-feature-set cache path. XLA:CPU AOT results embed the compile
-    machine's feature list but the cache key does not; loading them on a
-    different host (sessions migrate VMs mid-round) logs cpu_aot_loader
-    feature-mismatch errors and risks SIGILL. Salting the directory with a
-    fingerprint of /proc/cpuinfo flags gives every distinct host its own
-    cache instead."""
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags_line = next(l for l in f if l.startswith("flags"))
-        salt = hashlib.sha256(flags_line.encode()).hexdigest()[:12]
-    except (OSError, StopIteration):
-        salt = "nocpuinfo"
-    return os.path.join(tempfile.gettempdir(),
-                        f"sph_retina_tpu_jax_cache_{salt}")
+# Stdlib-only; importing the package does not initialize a jax backend
+# (verified: no module-level array creation), so this is safe pre-pinning.
+from sph_retina_tpu.utils.hostfp import default_jax_cache_dir as _cpu_cache_dir  # noqa: E402,E501
 
 
 flags = os.environ.get("XLA_FLAGS", "")

@@ -57,3 +57,22 @@ def test_bench_salvages_partial_on_timeout():
     assert out["value"] > 0
     assert out["extra"].get("partial") is True
     assert "salvaged" in out["extra"]["error"]
+
+
+def test_bench_never_salvages_stale_partial(tmp_path):
+    """A partial file left by a *previous* (crashed) supervisor run — same
+    path via PID recycling — must not be reported as this run's result."""
+    stale = {"metric": "sph2pob_iou_pairs_per_sec", "value": 999999,
+             "unit": "pairs/s", "vs_baseline": 9.59,
+             "extra": {"partial": True}}
+    pf = tmp_path / "partial.json"
+    pf.write_text(json.dumps(stale))
+    out = _run({"BENCH_ATTEMPTS": "1", "BENCH_ATTEMPT_TIMEOUT": "3",
+                # huge N on CPU: the child hangs past the 3 s budget and
+                # never checkpoints (BENCH_EXTRA=0 skips checkpointing too)
+                "BENCH_N": "2000000", "BENCH_ITERS": "100",
+                "BENCH_RETRY_WAIT": "1", "BENCH_PARTIAL_FILE": str(pf)},
+               timeout=120)
+    assert out["value"] == 0  # honest zero+error, not the stale 999999
+    assert "error" in out["extra"]
+    assert not pf.exists()  # the stale file was cleared at supervisor start

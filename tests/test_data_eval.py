@@ -176,3 +176,23 @@ def test_diff_seed_changes_aug_not_shuffle():
     bc = next(iter(c.epoch(0)))["images"]
     np.testing.assert_array_equal(ba, bb)  # aug_seed defaults to seed
     assert not np.array_equal(ba, bc)      # different stream -> different aug
+
+
+def test_native_loader_foreign_host_binary_rebuilt():
+    """A libsphloader.so carried over from another machine (-march=native:
+    SIGILL hazard) must be detected via the host-fingerprint marker and
+    rebuilt, not loaded because its mtime looks fresh."""
+    import pytest
+
+    from sph_retina_tpu.data import native_loader as nl
+
+    if not nl.available():
+        pytest.skip("native loader not built")
+    assert nl._built_on_this_host()  # marker written by the build above
+    # simulate a binary built elsewhere: fingerprint mismatch
+    with open(nl._host_marker(), "w") as f:
+        f.write("deadbeefdead")
+    assert not nl._built_on_this_host()
+    nl._lib = None  # drop the cached handle to force the load path
+    assert nl.available()  # forced `make -B` rebuilt for this host
+    assert nl._built_on_this_host()

@@ -163,3 +163,23 @@ def test_vis_kent_cli_writes_png(tmp_path):
         capture_output=True, text=True, cwd=REPO)
     assert rc.returncode == 0, rc.stdout + rc.stderr
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_kent_gamma_frame_numpy_twin_matches_jnp():
+    """visualize.kent_vis keeps a numpy copy of kent_angles_to_gammas (so the
+    package never touches jax); it must stay identical to the jnp original."""
+    from sph_retina_tpu.iou.kent import kent_angles_to_gammas as jnp_frame
+    from sph_retina_tpu.visualize.kent_vis import (
+        kent_angles_to_gammas as np_frame,
+    )
+
+    rng = np.random.default_rng(0)
+    angles = rng.uniform(-np.pi, np.pi, size=(16, 3))
+    for alpha, psi, eta in angles:
+        ref = [np.asarray(g) for g in jnp_frame(alpha, psi, eta)]
+        got = np_frame(alpha, psi, eta)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(g, r, atol=1e-6)
+        # orthonormal frame
+        q = np.stack(got)
+        np.testing.assert_allclose(q @ q.T, np.eye(3), atol=1e-12)

@@ -78,11 +78,11 @@ def main():
                         "the axon tunnel)")
     args = p.parse_args()
 
-    import jax
+    from sph_retina_tpu.utils.device import pin_platform
 
-    if args.device:
-        jax.config.update("jax_platforms",
-                          "axon" if args.device == "tpu" else args.device)
+    pin_platform(args.device)
+
+    import jax
     import jax.numpy as jnp
 
     from sph_retina_tpu.engine.builder import build_tx

@@ -60,11 +60,11 @@ def parse_args():
 def main():
     args = parse_args()
 
-    import jax
+    from sph_retina_tpu.utils.device import pin_platform
 
-    if args.device:
-        jax.config.update("jax_platforms",
-                          "axon" if args.device == "tpu" else args.device)
+    pin_platform(args.device)
+
+    import jax
 
     from sph_retina_tpu.parallel import (
         data_mesh, host_local_copy, init_distributed, make_global_batch,

@@ -39,10 +39,17 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image", default=None, help="ERP background image")
     p.add_argument("--out", default="kent_density.png")
+    p.add_argument("--device", default="cpu", choices=["cpu", "tpu", "axon"],
+                   help="backend for deg2kent/kent_mle (default cpu: a "
+                        "host-side raster must not wedge on the TPU tunnel)")
     args = p.parse_args()
 
     if (args.bfov is None) == (args.kent is None):
         p.error("pass exactly one of --bfov / --kent")
+
+    from sph_retina_tpu.utils.device import pin_platform
+
+    pin_platform(args.device)
 
     import numpy as np
 
