@@ -96,6 +96,17 @@ def unbiased_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-8) -> jax
     cross21 = -cross12
     cands = jnp.concatenate([v1, v2, cross12, cross21], axis=-2)  # (..., 40, 3)
 
+    # (Near-)parallel plane pairs — coincident boundaries, e.g. two boxes
+    # sharing a side, or identical boxes — have |n1 x n2| ~ 0: the
+    # eps-normalized "intersection" is a near-zero vector whose plane dots
+    # all sit inside the tolerance band, so it would pass the inside test as
+    # a phantom vertex. The true polygon vertices on a shared boundary are
+    # already covered by the corner candidates; drop the degenerate crosses.
+    cross_ok = jnp.sum(raw12 * raw12, axis=-1) > 1e-12  # (..., 16)
+    corner_ok = jnp.ones(v1.shape[:-2] + (8,), bool)
+    cand_ok = jnp.concatenate([corner_ok, cross_ok, cross_ok], axis=-1)
+    # (..., 40); corners are always structurally valid
+
     # Edge planes at each candidate: the two planes whose intersection it is.
     # Interior angle at the vertex = arccos(-e0 . e1).
     e0 = jnp.concatenate([n1[..., pa, :], n2[..., pa, :], n1e, n2e], axis=-2)
@@ -107,7 +118,31 @@ def unbiased_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-8) -> jax
     # breaks the on-plane tolerance test).
     planes = jnp.concatenate([n1, n2], axis=-2)  # (..., 8, 3)
     dots = jnp.sum(cands[..., :, None, :] * planes[..., None, :, :], axis=-1)
-    inside = jnp.all(dots >= -_TOL, axis=-1)  # (..., 40)
+    inside = jnp.all(dots >= -_TOL, axis=-1) & cand_ok  # (..., 40)
+
+    # Structural dedup: a corner grazing the other box's boundary plane
+    # (within _TOL of it) passes the inside test together with the
+    # cross-intersections at the same point; each extra copy adds its
+    # (angle - pi) to the excess sum, corrupting the area by up to ~pi.
+    # Only cross candidates coinciding with an *inside corner* are dropped —
+    # the corner's interior angle is the correct single contribution there.
+    # Cross-vs-cross coincidences must be KEPT: a box corner poking a
+    # sliver outside the other box yields two genuinely distinct "cut
+    # corner" vertices arbitrarily close together whose two turning angles
+    # are both required (dropping one inflates the excess by ~pi).
+    # Coincidence radius 1e-4 rad (chord^2 1e-8): far above fp32 vertex
+    # noise, far below the corner separation of any >0.01 deg box. Peak
+    # intermediate is (..., 32, 8) — the round-1 (..., 40, 40) first-wins
+    # tensor blew up HBM on the pairwise path (nms_pre=1000 => ~6.4 GB).
+    corners8 = cands[..., :8, :]
+    inside_corner = inside[..., :8]
+    crosses = cands[..., 8:, :]
+    d2_cc = jnp.sum(
+        (crosses[..., :, None, :] - corners8[..., None, :, :]) ** 2, axis=-1
+    )  # (..., 32, 8)
+    dup_cross = jnp.any(inside_corner[..., None, :] & (d2_cc < 1e-8), axis=-1)
+    inside = jnp.concatenate(
+        [inside_corner, inside[..., 8:] & ~dup_cross], axis=-1)
 
     cos_int = jnp.clip(-jnp.sum(e0 * e1, axis=-1), -1.0, 1.0)
     angles = jnp.arccos(cos_int)  # (..., 40)
@@ -134,10 +169,14 @@ def unbiased_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-8) -> jax
     # whose N*M*1600 floats blew up HBM on the pairwise path
     # (nms_pre=1000 => ~6.4 GB); peak intermediate is now the (..., 40, 8)
     # plane-dot tensor.
-    d2_corner = jnp.sum(
-        (v1[..., :, None, :] - v2[..., None, :, :]) ** 2, axis=-1
-    )  # (..., 4, 4)
-    near_identical = jnp.all(jnp.min(d2_corner, axis=-1) < 1e-6, axis=-1)
+    # Same-index corner distances: corners are generated in a deterministic
+    # order from the box parameters, so near-identical boxes have
+    # near-identical corner lists elementwise. (A min-over-all-corners test
+    # is NOT equivalent: a tiny box sitting on one corner of a large box has
+    # every corner near that single large-box corner and would falsely
+    # trigger the fallback.)
+    d2_corner = jnp.sum((v1 - v2) ** 2, axis=-1)  # (..., 4)
+    near_identical = jnp.all(d2_corner < 1e-6, axis=-1)
     amin = jnp.minimum(area1, area2)
     amax = jnp.maximum(area1, area2)
     return jnp.where(near_identical, (amin + eps) / (amax + eps), iou)

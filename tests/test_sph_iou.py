@@ -191,3 +191,55 @@ def test_canonical_backend_resolution():
     assert canonical_backend("unbiased_iou") == "unbiased"
     assert canonical_backend("naive") == "naive"
     assert canonical_backend("nonsense") == "nonsense"  # pass-through
+
+
+def test_unbiased_oracle_degenerate_classes():
+    """Vertex-selection edge cases of the exact oracle.
+
+    - identical pair: exactly 1 (the reference oracle loops forever here);
+    - shared-plane containment (same center/fov_x, half fov_y): analytic
+      area ratio — degenerate plane crossings must be discarded (the
+      reference fp64 oracle returns garbage, even negative, on this class);
+    - grazing corner (cut-corner sliver): two genuinely distinct crossing
+      vertices ~4e-6 apart must BOTH be kept (structural dedup only drops
+      crosses coincident with an inside corner) — seeds 11/12 pair 1605
+      regressed to IoU~4.8 under a naive distance dedup;
+    - a tiny box sitting on one corner of a large box must not trigger the
+      near-identical fallback (elementwise corner test, not min-matching).
+    """
+    from sph_retina_tpu.geometry.boxes import spherical_box_area
+    from sph_retina_tpu.iou.unbiased import unbiased_iou
+
+    d = np.deg2rad
+
+    bb = jnp.asarray(d(np.array([30.0, 90.0, 40.0, 40.0])))
+    assert float(unbiased_iou(bb, bb)) == pytest.approx(1.0, abs=1e-6)
+
+    b1 = generate_boxes(256, 4, seed=11).astype(np.float64)
+    b4 = b1.copy()
+    b4[:, 3] = b1[:, 3] * 0.5
+    a1 = np.asarray(spherical_box_area(jnp.asarray(d(b1[:, 2])),
+                                       jnp.asarray(d(b1[:, 3]))))
+    a4 = np.asarray(spherical_box_area(jnp.asarray(d(b4[:, 2])),
+                                       jnp.asarray(d(b4[:, 3]))))
+    got = np.clip(np.asarray(unbiased_iou(jnp.asarray(d(b1), jnp.float32),
+                                          jnp.asarray(d(b4), jnp.float32))),
+                  0, 1)
+    np.testing.assert_allclose(got, a4 / a1, atol=2e-4)
+
+    p1 = jnp.asarray(d(np.array([47.53572, 20.242577, 47.66638, 61.216343])))
+    p2 = jnp.asarray(d(np.array([279.36346, 12.719661, 4.0947447, 2.5377033])))
+    assert float(unbiased_iou(p1, p2)) == pytest.approx(0.0038176, abs=2e-4)
+
+    big = jnp.asarray(d(np.array([30.0, 90.0, 40.0, 40.0])))
+    # tiny box centered on the big box's corner: IoU ~ (tiny/4)/big ~ 4e-7,
+    # far below the old false-positive fallback value (~min/max area = 5e-7
+    # vs the 2e-6 it actually reported); assert it stays near zero
+    from sph_retina_tpu.iou.unbiased import _box_planes_and_corners
+
+    _, corners, _ = _box_planes_and_corners(big)
+    c0 = np.asarray(corners)[0]
+    th = np.degrees(np.arctan2(c0[1], c0[0])) % 360
+    ph = np.degrees(np.arccos(np.clip(c0[2], -1, 1)))
+    tiny = jnp.asarray(d(np.array([th, ph, 0.05, 0.05])))
+    assert float(unbiased_iou(big, tiny)) < 1e-6
