@@ -15,8 +15,10 @@ Backends: ``sph2pob_efficient`` (default hot path), ``sph2pob_standard``,
 ``kent`` (Kent-distribution KLD surrogate).
 
 For huge pairwise problems (anchor assignment: ~100k x K) prefer
-``sph_retina_tpu.ops.pairwise_sph2pob_iou`` — the Pallas-tiled fused kernel —
-which this module dispatches to automatically when profitable.
+``sph_retina_tpu.ops.sph2pob_iou_pairwise_tpu`` — the Pallas-tiled fused
+kernel. This module does NOT dispatch to it automatically; the hot callers
+that need it use it directly (``models/single_stage.py`` assignment,
+``boxes/nms.py``).
 """
 
 from __future__ import annotations

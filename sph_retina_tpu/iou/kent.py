@@ -58,11 +58,16 @@ def kent_angles_to_gammas(alpha, psi, eta):
 # deg2kent: moment estimation over the 11x11 tangent grid
 # --------------------------------------------------------------------------- #
 def _sample_box_points(boxes_rad):
-    """(..., 4) radians -> (..., 121, 3) unit sphere samples.
+    """(..., 4|5) radians -> (..., 121, 3) unit sphere samples.
 
     Reference sampleFromAnnotation_deg semantics: tangent grid scaled by the
     FoVs, rotated to the box center with Ry(lon) Rx(lat); the subsequent
     ERP-pixel round trip reduces to X = (-p_y, -p_z, -p_x).
+
+    A 5th column (RBFoV gamma) rolls the tangent grid about the boresight
+    before lifting, so the Kent backend sees box rotation (the reference's
+    sampleFromAnnotation_deg is 4-dof only and its kent pipeline silently
+    ignores gamma — rotation-blind kent IoU/loss for rotated boxes).
     """
     lon = boxes_rad[..., 0] - jnp.pi          # phi00
     lat = boxes_rad[..., 1] - jnp.pi / 2.0    # theta00
@@ -81,6 +86,10 @@ def _sample_box_points(boxes_rad):
     px = ii * (d_lat / d_long)[..., None]
     py = jj * jnp.ones_like(d_lat)[..., None]
     pz = d_lat[..., None] * jnp.ones_like(jj)
+    if boxes_rad.shape[-1] == 5:
+        gamma = boxes_rad[..., 4:5]
+        cg, sg = jnp.cos(gamma), jnp.sin(gamma)
+        px, py = px * cg - py * sg, px * sg + py * cg
     inv = jax.lax.rsqrt(px * px + py * py + pz * pz)
     px, py, pz = px * inv, py * inv, pz * inv
 
@@ -144,7 +153,7 @@ def deg2kent(boxes_deg: jax.Array, img_size=None) -> jax.Array:
     compatibility; the projection is resolution-independent.
     """
     del img_size
-    boxes_rad = jnp.deg2rad(jnp.asarray(boxes_deg, jnp.float32)[..., :4])
+    boxes_rad = jnp.deg2rad(jnp.asarray(boxes_deg, jnp.float32)[..., :5])
     r1, r2, alpha, psi, eta = _kent_moments(boxes_rad)
 
     denom_m = jnp.maximum(2.0 - 2.0 * r1 - r2, 1e-6)
@@ -172,7 +181,7 @@ def kent_mle(boxes_deg: jax.Array, iters: int = 25) -> jax.Array:
     closed-form Jacobian, fully batched, jit/grad-compatible (no host
     loop, no scipy).
     """
-    boxes_rad = jnp.deg2rad(jnp.asarray(boxes_deg, jnp.float32)[..., :4])
+    boxes_rad = jnp.deg2rad(jnp.asarray(boxes_deg, jnp.float32)[..., :5])
     r1, r2, alpha, psi, eta = _kent_moments(boxes_rad)
 
     # moment-estimate init

@@ -268,4 +268,8 @@ def rotated_box_iou(pob1: jax.Array, pob2: jax.Array, eps: float = 0.0) -> jax.A
     area1 = jnp.abs(b1[2] * b1[3])
     area2 = jnp.abs(b2[2] * b2[3])
     union = area1 + area2 - inter
-    return inter / (union + eps)
+    # Two zero-area boxes give 0/0 = NaN, which then defeats NMS suppression
+    # (NaN > thr is False, so mutually-degenerate duplicates all survive).
+    # Define IoU = 0 there; the safe-where denominator keeps grads finite.
+    ok = union > 0.0
+    return jnp.where(ok, inter / jnp.where(ok, union + eps, 1.0), 0.0)

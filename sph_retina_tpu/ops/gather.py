@@ -18,7 +18,13 @@ import jax.numpy as jnp
 
 
 def take_rows(values: jax.Array, idx: jax.Array) -> jax.Array:
-    """``values[idx]`` for values (G, ...) and int idx (N,) -> (N, ...)."""
+    """``values[idx]`` for values (G, ...) and int idx (N,) -> (N, ...).
+
+    Indices outside [0, G) match no one-hot column and yield ALL-ZERO rows —
+    unlike numpy/jax gather (wrapping / clamping). Callers using a -1
+    "unassigned" sentinel must pre-clip (as boxes/assigner.py does) or rely
+    on the zero-row semantics explicitly.
+    """
     g = values.shape[0]
     oh = (idx[:, None] == jnp.arange(g)[None, :]).astype(jnp.float32)
     flat = values.reshape(g, -1).astype(jnp.float32)

@@ -154,3 +154,31 @@ def test_kent_grid_anchors_parity():
         assert kp.shape == (sp.shape[0], 5)
         assert np.isfinite(np.asarray(kp)).all()
         assert (np.asarray(kp[:, 0]) > 0).all()  # kappa positive
+
+
+def test_kent_backend_sees_rbfov_rotation():
+    """deg2kent must honor RBFoV gamma (the reference's kent pipeline
+    silently drops it: sampleFromAnnotation_deg is 4-dof only, so its kent
+    IoU/loss is rotation-blind). The tangent grid rolls about the boresight:
+    kappa/beta are rotation-invariant, the major axis turns with gamma, and
+    kent IoU decreases monotonically with relative rotation."""
+    base = np.array([120.0, 70.0, 60.0, 20.0])
+
+    def box(g):
+        return jnp.asarray(np.concatenate([base, [g]])[None])
+
+    p0 = np.asarray(deg2kent(box(0.0)))[0]
+    p45 = np.asarray(deg2kent(box(45.0)))[0]
+    np.testing.assert_allclose(p0[:2], p45[:2], rtol=1e-4)  # kappa, beta
+    assert abs(p0[2] - p45[2]) < 1e-4  # mean direction unchanged
+
+    vals = [
+        float(sph_overlaps(box(0.0), box(g), "kent", is_aligned=True)[0])
+        for g in (0.0, 15.0, 30.0, 60.0, 90.0)
+    ]
+    assert vals[0] > 0.999  # same box
+    assert all(a > b for a, b in zip(vals, vals[1:]))  # strictly decreasing
+    assert vals[-1] < 0.5
+    # equal rotation on both sides is still the identical pair
+    same = float(sph_overlaps(box(45.0), box(45.0), "kent", is_aligned=True)[0])
+    assert same > 0.999
