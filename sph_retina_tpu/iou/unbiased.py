@@ -1,17 +1,39 @@
 """Unbiased (exact) spherical-rectangle IoU — TPU-resident oracle.
 
-Exact IoU of two spherical rectangles via spherical excess (Gauss–Bonnet):
-each boundary is a great-circle arc, each box contributes 4 plane normals; the
-intersection polygon's vertices are original corners plus pairwise boundary
-intersections, filtered by an inside-all-8-planes test; the area is the sum of
-interior angles minus (n-2)pi.
+Exact IoU of two spherical rectangles: each boundary is a great-circle arc
+(every boundary plane passes through the origin), each box contributes 4
+plane normals; the intersection region is the set of unit vectors inside all
+8 half-spaces — a geodesically convex spherical polygon. Its vertices are
+original box corners plus pairwise boundary-circle intersections, filtered
+by an inside-all-8-planes test.
 
 The reference implementation (sphdet/iou/unbiased_iou_bfov.py, numpy,
 CPU-only, 46 s / 1M pairs) uses data-dependent shapes (np.where + bincount +
-per-pair loops). Here the whole computation is re-expressed with a fixed
-40-candidate mask (4 + 4 corners, 16 + 16 cross-intersections), making it one
-fused elementwise XLA program: differentiable where meaningful, batched, and
-fast enough to serve as a same-device oracle in tests and as an NMS backend.
+per-pair loops) and sums interior angles (Gauss–Bonnet spherical excess).
+Here the candidate set is a fixed 40-element mask (4 + 4 corners, 16 + 16
+cross-intersections) and the area is computed by a **centroid fan** instead
+of the excess sum: sort the valid vertices by angle around their normalized
+centroid (inside the region, by convexity) and accumulate signed l'Huilier
+triangle areas (atan2 form). This is robust by construction where the
+excess sum needs fragile per-vertex bookkeeping:
+
+- duplicate vertices (identical boxes, a corner grazing the other box's
+  boundary within fp tolerance) yield zero-area triangles instead of a
+  spurious (angle - pi) excess term;
+- tangency points (a plane touching the polygon at one point — e.g. the
+  shared-plane containment class where the reference fp64 oracle returns
+  garbage, even negative) land on the polygon boundary and contribute zero;
+- genuinely distinct cut-corner vertex pairs arbitrarily close together
+  (a box corner strictly inside the other box by ~1e-5 rad next to the edge
+  crossing) are each counted with their true triangle — the round-2
+  structural dedup dropped one of the pair inside its 1e-4 coincidence
+  radius and corrupted the area by the missing turning angle (caught by the
+  differential fuzz vs the reference oracle, round 3).
+
+The whole computation is one fused elementwise XLA program over the 40-lane
+candidate axis plus a single (stable) lax.sort — batched, differentiable
+where meaningful, and fast enough to serve as a same-device oracle in tests,
+benchmarks, and as an NMS backend.
 
 Input boxes are (..., 4|5) in **radians**: (theta, phi, fov_x, fov_y[, gamma]).
 """
@@ -27,7 +49,10 @@ from ..geometry.boxes import normalize, spherical_box_area
 # fp32 on TPU the on-plane dot noise is ~1e-7, so the tolerance must sit above
 # it but below the smallest genuine inside-margin. Empirically the error
 # plateau vs an fp64 oracle is flat (max err < 1e-4 over 10k random pairs) for
-# tol in [3e-7, 1e-5]; 1e-6 is its midpoint.
+# tol in [3e-7, 1e-5]; 1e-6 is its midpoint. (The centroid fan only uses the
+# tolerance to admit vertices; near-boundary false admits contribute
+# near-zero triangles, so the plateau is even flatter than for the excess
+# formulation.)
 _TOL = 1e-6
 
 
@@ -80,37 +105,90 @@ def _box_planes_and_corners(boxes: jax.Array):
     return normals, corners, (pair_a, pair_b)
 
 
+def _convex_fan_area(pts: jax.Array, valid: jax.Array) -> jax.Array:
+    """Area of the convex spherical polygon spanned by the valid points.
+
+    ``pts``: (..., K, 3) unit vectors, ``valid``: (..., K) bool. Points must
+    lie on (the boundary of) one geodesically convex region per batch
+    element; duplicates and points interior to a boundary arc are fine
+    (zero-area fan triangles). Returns 0 where fewer than 3 valid points.
+    """
+    k = pts.shape[-2]
+    dtype = pts.dtype
+    w = valid.astype(dtype)[..., None]
+    cen = normalize(jnp.sum(pts * w, axis=-2))  # inside the region (convexity)
+
+    # Tangent frame at the centroid; reference axis chosen away from cen.
+    z_far = jnp.abs(cen[..., 2:3]) < 0.9
+    axis = jnp.where(
+        z_far,
+        jnp.asarray([0.0, 0.0, 1.0], dtype),
+        jnp.asarray([1.0, 0.0, 0.0], dtype),
+    )
+    e1 = normalize(jnp.cross(cen, axis))
+    e2 = jnp.cross(cen, e1)
+
+    ang = jnp.arctan2(
+        jnp.sum(pts * e2[..., None, :], axis=-1),
+        jnp.sum(pts * e1[..., None, :], axis=-1),
+    )
+    key = jnp.where(valid, ang, jnp.asarray(100.0, dtype))  # invalid last
+
+    key_s, xs, ys, zs = jax.lax.sort(
+        (key, pts[..., 0], pts[..., 1], pts[..., 2]),
+        dimension=-1,
+        num_keys=1,
+    )
+    pts_s = jnp.stack([xs, ys, zs], axis=-1)  # (..., K, 3) CCW about cen
+
+    nv = jnp.sum(valid, axis=-1)  # (...,)
+    lane = jnp.arange(k)
+    # Coordinates of the last valid (sorted) point, via a masked reduction
+    # (cheaper than a dynamic gather on TPU).
+    one_hot_last = (lane == (nv - 1)[..., None]).astype(dtype)[..., None]
+    p_last = jnp.sum(pts_s * one_hot_last, axis=-2)  # (..., 3)
+    # Replace padding with p_last: interior pad triangles vanish and the
+    # wrap-around pair (q[K-1], q[0]) becomes the closing (last, first) edge.
+    is_pad = lane >= nv[..., None]
+    q = jnp.where(is_pad[..., None], p_last[..., None, :], pts_s)
+    qn = jnp.concatenate([q[..., 1:, :], q[..., :1, :]], axis=-2)
+
+    # Signed l'Huilier: 2*atan2(cen . (q x qn), 1 + q.qn + cen.q + cen.qn).
+    num = jnp.sum(cen[..., None, :] * jnp.cross(q, qn), axis=-1)
+    den = (
+        1.0
+        + jnp.sum(q * qn, axis=-1)
+        + jnp.sum(cen[..., None, :] * q, axis=-1)
+        + jnp.sum(cen[..., None, :] * qn, axis=-1)
+    )
+    tri = 2.0 * jnp.arctan2(num, den)
+    area = jnp.sum(tri, axis=-1)
+    return jnp.where(nv >= 3, jnp.maximum(area, 0.0), 0.0)
+
+
 def unbiased_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-8) -> jax.Array:
     """Exact spherical IoU, elementwise over matching leading shapes."""
-    n1, v1, (pa, pb) = _box_planes_and_corners(boxes1)
+    n1, v1, _ = _box_planes_and_corners(boxes1)
     n2, v2, _ = _box_planes_and_corners(boxes2)
 
     # 40 candidate vertices. Cross intersections: for plane pair (i of box1,
     # j of box2) both +-cross directions are candidates.
     i_idx = jnp.repeat(jnp.arange(4), 4)
     j_idx = jnp.tile(jnp.arange(4), 4)
-    n1e = n1[..., i_idx, :]  # (..., 16, 3)
-    n2e = n2[..., j_idx, :]
-    raw12 = jnp.cross(n1e, n2e)
+    raw12 = jnp.cross(n1[..., i_idx, :], n2[..., j_idx, :])
     cross12 = normalize(raw12, eps=1e-10)
-    cross21 = -cross12
-    cands = jnp.concatenate([v1, v2, cross12, cross21], axis=-2)  # (..., 40, 3)
+    cands = jnp.concatenate([v1, v2, cross12, -cross12], axis=-2)  # (..., 40, 3)
 
     # (Near-)parallel plane pairs — coincident boundaries, e.g. two boxes
     # sharing a side, or identical boxes — have |n1 x n2| ~ 0: the
     # eps-normalized "intersection" is a near-zero vector whose plane dots
     # all sit inside the tolerance band, so it would pass the inside test as
-    # a phantom vertex. The true polygon vertices on a shared boundary are
-    # already covered by the corner candidates; drop the degenerate crosses.
+    # a phantom near-origin point. The true polygon vertices on a shared
+    # boundary are already covered by the corner candidates; drop the
+    # degenerate crosses.
     cross_ok = jnp.sum(raw12 * raw12, axis=-1) > 1e-12  # (..., 16)
     corner_ok = jnp.ones(v1.shape[:-2] + (8,), bool)
     cand_ok = jnp.concatenate([corner_ok, cross_ok, cross_ok], axis=-1)
-    # (..., 40); corners are always structurally valid
-
-    # Edge planes at each candidate: the two planes whose intersection it is.
-    # Interior angle at the vertex = arccos(-e0 . e1).
-    e0 = jnp.concatenate([n1[..., pa, :], n2[..., pa, :], n1e, n2e], axis=-2)
-    e1 = jnp.concatenate([n1[..., pb, :], n2[..., pb, :], n2e, n1e], axis=-2)
 
     # Inside-all-8-planes test with tolerance. NOTE: explicit multiply-sum,
     # not einsum/matmul — tiny-contraction dots must stay in fp32 on the VPU
@@ -120,63 +198,12 @@ def unbiased_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-8) -> jax
     dots = jnp.sum(cands[..., :, None, :] * planes[..., None, :, :], axis=-1)
     inside = jnp.all(dots >= -_TOL, axis=-1) & cand_ok  # (..., 40)
 
-    # Structural dedup: a corner grazing the other box's boundary plane
-    # (within _TOL of it) passes the inside test together with the
-    # cross-intersections at the same point; each extra copy adds its
-    # (angle - pi) to the excess sum, corrupting the area by up to ~pi.
-    # Only cross candidates coinciding with an *inside corner* are dropped —
-    # the corner's interior angle is the correct single contribution there.
-    # Cross-vs-cross coincidences must be KEPT: a box corner poking a
-    # sliver outside the other box yields two genuinely distinct "cut
-    # corner" vertices arbitrarily close together whose two turning angles
-    # are both required (dropping one inflates the excess by ~pi).
-    # Coincidence radius 1e-4 rad (chord^2 1e-8): far above fp32 vertex
-    # noise, far below the corner separation of any >0.01 deg box. Peak
-    # intermediate is (..., 32, 8) — the round-1 (..., 40, 40) first-wins
-    # tensor blew up HBM on the pairwise path (nms_pre=1000 => ~6.4 GB).
-    corners8 = cands[..., :8, :]
-    inside_corner = inside[..., :8]
-    crosses = cands[..., 8:, :]
-    d2_cc = jnp.sum(
-        (crosses[..., :, None, :] - corners8[..., None, :, :]) ** 2, axis=-1
-    )  # (..., 32, 8)
-    dup_cross = jnp.any(inside_corner[..., None, :] & (d2_cc < 1e-8), axis=-1)
-    inside = jnp.concatenate(
-        [inside_corner, inside[..., 8:] & ~dup_cross], axis=-1)
-
-    cos_int = jnp.clip(-jnp.sum(e0 * e1, axis=-1), -1.0, 1.0)
-    angles = jnp.arccos(cos_int)  # (..., 40)
-    n_valid = jnp.sum(inside, axis=-1)
-    inter = jnp.sum(jnp.where(inside, angles, 0.0), axis=-1) - (
-        n_valid.astype(angles.dtype) - 2.0
-    ) * jnp.pi
-    inter = jnp.where(n_valid >= 3, inter, 0.0)
+    inter = _convex_fan_area(cands, inside)
 
     area1 = spherical_box_area(boxes1[..., 2], boxes1[..., 3])
     area2 = spherical_box_area(boxes2[..., 2], boxes2[..., 3])
-    iou = (inter + eps) / (area1 + area2 - inter - eps)
-
-    # Near-identical pairs: duplicated corners and degenerate cross
-    # candidates poison the spherical-excess sum (the reference's disabled
-    # remove_redundant_points_by_DFS chased the same defect, and its oracle
-    # loops forever on identical pairs, unbiased_iou_bfov.py:178). Detect
-    # pair-level degeneracy — every box1 corner within 1e-3 rad of a box2
-    # corner — and use the analytic value instead: two boxes whose corners
-    # coincide to 1e-3 intersect in min(area) up to O(1e-3 * perimeter),
-    # far inside any consumer's tolerance (assignment/NMS thresholds, and
-    # the oracle tests never sample near-identical pairs). This replaces
-    # round 1's first-wins dedup over a (..., 40, 40) distance tensor,
-    # whose N*M*1600 floats blew up HBM on the pairwise path
-    # (nms_pre=1000 => ~6.4 GB); peak intermediate is now the (..., 40, 8)
-    # plane-dot tensor.
-    # Same-index corner distances: corners are generated in a deterministic
-    # order from the box parameters, so near-identical boxes have
-    # near-identical corner lists elementwise. (A min-over-all-corners test
-    # is NOT equivalent: a tiny box sitting on one corner of a large box has
-    # every corner near that single large-box corner and would falsely
-    # trigger the fallback.)
-    d2_corner = jnp.sum((v1 - v2) ** 2, axis=-1)  # (..., 4)
-    near_identical = jnp.all(d2_corner < 1e-6, axis=-1)
-    amin = jnp.minimum(area1, area2)
-    amax = jnp.maximum(area1, area2)
-    return jnp.where(near_identical, (amin + eps) / (amax + eps), iou)
+    # The fan area is exact up to fp32 roundoff but independent of the
+    # analytic box areas; bound it so containment/identical classes cannot
+    # exceed IoU 1 by roundoff.
+    inter = jnp.minimum(inter, jnp.minimum(area1, area2))
+    return (inter + eps) / (area1 + area2 - inter - eps)

@@ -1,0 +1,134 @@
+"""Load the reference's own torch/numpy modules for live differential testing.
+
+The reference package (`/root/reference/sphdet`) cannot be imported wholesale:
+its ``__init__`` pulls in mmcv/mmdet (absent here) and the CUDA ops they
+provide. But the modules that matter for numerical parity are torch/numpy-only
+(VERDICT round 2 item 1), so we assemble a synthetic ``sphdet`` package whose
+``__path__`` points at the reference tree, stub ``mmcv.ops`` with the
+reference's *own* pure-torch rotated-IoU port, and import the leaf modules
+through the normal machinery (relative imports inside them then just work):
+
+- ``sphdet.iou.sph_iou_api`` — the full reference IoU pipelines
+  (jitter -> transform -> rotated IoU), reference code end to end. The one
+  substitution: mmcv's CUDA ``box_iou_rotated`` is backed by the reference's
+  ``diff_iou_rotated.py`` ("Fix some bugs in mmcv.ops.diff_iou_rotated",
+  /root/reference/sphdet/iou/sph_iou_api.py:14), whose equivalence to the
+  CUDA op the reference itself asserts to 1e-6
+  (/root/reference/tests/test_sph_iou_loss.py:21-34).
+- ``sphdet.bbox.kent_formator`` — reference deg2kent / kent_me moment
+  estimation (per-box host loop, kent_formator.py:833-839).
+- ``sphdet.iou.kent_iou_calculator`` — reference closed-form Kent KLD.
+
+numpy-2 skew: the reference was written against numpy 1.x, where
+``from numpy import *`` did NOT export ``max``/``min``/``round``/``bool``;
+numpy 2 exports them, silently shadowing the builtins ``kent_formator``
+relies on (``max(min_kappa, scalar)`` -> np.max(scalar, axis=float) ->
+TypeError). ``_restore_numpy1_builtins`` rebinds those module globals to the
+builtins, restoring the semantics the code was written for.
+
+This module lives in tests/ only — no reference code is copied anywhere; the
+reference tree is loaded read-only at test time and compared against.
+"""
+
+from __future__ import annotations
+
+import builtins
+import importlib
+import os
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+REF_SPHDET = os.path.join(REF_ROOT, "sphdet")
+
+_NUMPY1_UNEXPORTED = ("max", "min", "round", "bool", "pow")
+
+_cache: dict = {}
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REF_SPHDET)
+
+
+def _register_synthetic_packages() -> None:
+    for name, path in [
+        ("sphdet", REF_SPHDET),
+        ("sphdet.iou", os.path.join(REF_SPHDET, "iou")),
+        ("sphdet.bbox", os.path.join(REF_SPHDET, "bbox")),
+    ]:
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            pkg.__package__ = name
+            sys.modules[name] = pkg
+
+
+def _stub_mmcv(diff_mod) -> None:
+    import torch
+
+    def box_iou_rotated(b1, b2, mode="iou", aligned=True, clockwise=True):
+        # Rotated-rect IoU is invariant to a consistent angle-sign flip, so
+        # the clockwise flag is a no-op for IoU values.
+        assert mode == "iou" and aligned
+        return diff_mod.diff_iou_rotated_2d(
+            b1.unsqueeze(0), b2.unsqueeze(0)
+        ).squeeze(0)
+
+    def bbox_overlaps(b1, b2, mode="iou", aligned=False, eps=1e-6):
+        if not aligned:
+            b1 = b1[:, None, :]
+            b2 = b2[None, :, :]
+        lt = torch.maximum(b1[..., :2], b2[..., :2])
+        rb = torch.minimum(b1[..., 2:], b2[..., 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[..., 0] * wh[..., 1]
+        a1 = (b1[..., 2] - b1[..., 0]) * (b1[..., 3] - b1[..., 1])
+        a2 = (b2[..., 2] - b2[..., 0]) * (b2[..., 3] - b2[..., 1])
+        return inter / (a1 + a2 - inter + eps)
+
+    if "mmcv" not in sys.modules:
+        mmcv = types.ModuleType("mmcv")
+        ops = types.ModuleType("mmcv.ops")
+        ops.box_iou_rotated = box_iou_rotated
+        ops.bbox_overlaps = bbox_overlaps
+        ops.diff_iou_rotated_2d = diff_mod.diff_iou_rotated_2d
+        mmcv.ops = ops
+        sys.modules["mmcv"] = mmcv
+        sys.modules["mmcv.ops"] = ops
+
+
+def _restore_numpy1_builtins(mod) -> None:
+    for name in _NUMPY1_UNEXPORTED:
+        if hasattr(builtins, name):
+            setattr(mod, name, getattr(builtins, name))
+
+
+def load_reference_sphdet():
+    """Returns a namespace with the loaded reference modules.
+
+    Attributes: ``api`` (sph_iou_api), ``kent_formator``,
+    ``kent_iou_calculator``, ``diff_iou_rotated``, ``unbiased_bfov``,
+    ``unbiased_rbfov``. Raises ImportError when /root/reference is absent.
+    """
+    if "ns" in _cache:
+        return _cache["ns"]
+    if not reference_available():
+        raise ImportError(f"reference tree not found at {REF_SPHDET}")
+
+    _register_synthetic_packages()
+    diff_mod = importlib.import_module("sphdet.iou.diff_iou_rotated")
+    _stub_mmcv(diff_mod)
+
+    ns = types.SimpleNamespace(
+        diff_iou_rotated=diff_mod,
+        api=importlib.import_module("sphdet.iou.sph_iou_api"),
+        kent_formator=importlib.import_module("sphdet.bbox.kent_formator"),
+        kent_iou_calculator=importlib.import_module(
+            "sphdet.iou.kent_iou_calculator"
+        ),
+        unbiased_bfov=importlib.import_module("sphdet.iou.unbiased_iou_bfov"),
+        unbiased_rbfov=importlib.import_module("sphdet.iou.unbiased_iou_rbfov"),
+    )
+    _restore_numpy1_builtins(ns.kent_formator)
+    _cache["ns"] = ns
+    return ns
