@@ -59,28 +59,36 @@ class SphCocoDataset:
             self.classes = tuple(c["name"] for c in cats)
         cat2label = {c["id"]: i for i, c in enumerate(cats)}
 
+        # iscrowd annotations become *ignore regions* (COCO semantics the
+        # reference inherits from pip-mmdet's COCO eval): excluded from
+        # training targets and from the recall denominator, but detections
+        # overlapping them are not penalized as false positives.
         per_img: dict = {}
+        per_img_ignore: dict = {}
         for ann in coco.get("annotations", []):
-            if ann.get("iscrowd", 0):
-                continue
             box = np.asarray(ann["bbox"][: self.box_version], np.float32)
             if box.shape[0] < self.box_version:
                 box = np.concatenate(
                     [box, np.zeros(self.box_version - box.shape[0], np.float32)]
                 )
-            per_img.setdefault(ann["image_id"], []).append(
+            dst = per_img_ignore if ann.get("iscrowd", 0) else per_img
+            dst.setdefault(ann["image_id"], []).append(
                 (box, cat2label[ann["category_id"]])
             )
+
+        def _stack(anns):
+            boxes = (
+                np.stack([a[0] for a in anns])
+                if anns else np.zeros((0, self.box_version), np.float32)
+            )
+            return boxes, np.asarray([a[1] for a in anns], np.int32)
 
         for img in coco.get("images", []):
             anns = per_img.get(img["id"], [])
             if self.filter_empty and not anns:
                 continue
-            boxes = (
-                np.stack([a[0] for a in anns])
-                if anns else np.zeros((0, self.box_version), np.float32)
-            )
-            labels = np.asarray([a[1] for a in anns], np.int32)
+            boxes, labels = _stack(anns)
+            ig_boxes, ig_labels = _stack(per_img_ignore.get(img["id"], []))
             self._items.append({
                 "img_id": img["id"],
                 "file_name": img["file_name"],
@@ -88,6 +96,8 @@ class SphCocoDataset:
                 "height": img.get("height"),
                 "boxes": boxes,
                 "labels": labels,
+                "ignore_boxes": ig_boxes,
+                "ignore_labels": ig_labels,
             })
 
     @property

@@ -34,6 +34,9 @@ class SphPipeline:
     training: bool = True
     mean: np.ndarray = None
     std: np.ndarray = None
+    # Crowd/ignore regions (COCO iscrowd) carried for evaluation only;
+    # padded separately from training GT.
+    max_ignore: int = 16
 
     def __post_init__(self):
         self.mean = IMAGENET_MEAN if self.mean is None else self.mean
@@ -58,8 +61,8 @@ class SphPipeline:
     def normalize(self, img: np.ndarray) -> np.ndarray:
         return (img.astype(np.float32) - self.mean) / self.std
 
-    def pad_gt(self, boxes, labels):
-        g = self.max_gt
+    def pad_gt(self, boxes, labels, max_n=None):
+        g = self.max_gt if max_n is None else max_n
         out_boxes = np.zeros((g, self.box_version), np.float32)
         out_boxes[:, :] = 1.0  # harmless non-degenerate padding
         out_labels = np.zeros((g,), np.int32)
@@ -91,16 +94,33 @@ class SphPipeline:
             if do_flip:
                 raw = raw[:, ::-1]
             img = self.normalize(raw)
+        ig_boxes = np.asarray(
+            item.get("ignore_boxes", np.zeros((0, self.box_version))),
+            np.float32).reshape(-1, self.box_version)
+
+        def flip_boxes(b):
+            b = b.copy()
+            b[:, 0] = 360.0 - b[:, 0]
+            if b.shape[1] == 5:
+                b[:, 4] = -b[:, 4]
+            return b
+
         if do_flip and boxes.shape[0]:
-            boxes = boxes.copy()
-            boxes[:, 0] = 360.0 - boxes[:, 0]
-            if boxes.shape[1] == 5:
-                boxes[:, 4] = -boxes[:, 4]
+            boxes = flip_boxes(boxes)
+        if do_flip and ig_boxes.shape[0]:
+            ig_boxes = flip_boxes(ig_boxes)
         gt_boxes, gt_labels, gt_mask = self.pad_gt(boxes, item["labels"])
+        ig_labels = np.asarray(item.get("ignore_labels", np.zeros((0,))),
+                               np.int32)
+        ig_boxes, ig_labels, ig_mask = self.pad_gt(
+            ig_boxes, ig_labels, max_n=self.max_ignore)
         return {
             "images": img,
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,
             "gt_mask": gt_mask,
+            "ig_boxes": ig_boxes,
+            "ig_labels": ig_labels,
+            "ig_mask": ig_mask,
             "img_id": np.int32(item.get("img_id", 0)),
         }

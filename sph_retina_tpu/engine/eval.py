@@ -7,6 +7,19 @@ pycocotools matching semantics — per class and IoU threshold, score-ordered
 greedy matching, 101-point interpolated AP — with the IoU matrix computed
 on-device by any ``sph_overlaps`` backend (padded to fixed shapes so one
 compiled program serves every image).
+
+Crowd / ignore regions (COCO ``iscrowd`` semantics, which the reference
+inherits from pip-mmdet's COCO evaluation): annotations may carry
+``ignore_boxes``/``ignore_labels``. Ignored GT contributes no recall
+denominator, and a detection that fails to match a real GT but overlaps a
+same-class ignore region (intersection-over-detection-area >= threshold,
+pycocotools' crowd IoU) is *excluded* from scoring — neither TP nor FP.
+
+The per-(image, class) greedy matcher is vectorized: one pass over the
+detections (score order), each step an array op over all IoU thresholds and
+GTs at once, and the TP/FP accumulation is pure cumsum — no python loop per
+(threshold x detection).  PANDORA-scale eval (3k imgs x 47 classes x 10
+thresholds) runs in seconds.
 """
 
 from __future__ import annotations
@@ -56,6 +69,30 @@ def _pairwise_iou_np(det_boxes, gt_boxes, backend, max_det=128, max_gt=64):
     return np.asarray(iou)[:n_det, :n_gt]
 
 
+def _box_area_np(boxes: np.ndarray) -> np.ndarray:
+    """Exact spherical-rectangle area (steradians) from degree FoVs."""
+    a = np.radians(boxes[:, 2].astype(np.float64))
+    b = np.radians(boxes[:, 3].astype(np.float64))
+    s = np.clip(-np.sin(a / 2.0) * np.sin(b / 2.0), -1.0, 1.0)
+    return np.maximum(4.0 * np.arccos(s) - 2.0 * np.pi, 1e-12)
+
+
+def _pairwise_iof_np(det_boxes, ig_boxes, backend):
+    """Intersection-over-detection-area vs ignore regions.
+
+    pycocotools computes crowd "IoU" as I / area(det).  Recover the
+    intersection from the backend IoU and the exact spherical areas:
+    I = iou * (a_det + a_ig) / (1 + iou).
+    """
+    if len(det_boxes) == 0 or len(ig_boxes) == 0:
+        return np.zeros((len(det_boxes), len(ig_boxes)), np.float32)
+    iou = _pairwise_iou_np(det_boxes, ig_boxes, backend).astype(np.float64)
+    a_d = _box_area_np(np.asarray(det_boxes))[:, None]
+    a_g = _box_area_np(np.asarray(ig_boxes))[None, :]
+    inter = iou * (a_d + a_g) / (1.0 + iou)
+    return np.clip(inter / a_d, 0.0, 1.0).astype(np.float32)
+
+
 def _average_precision(recall, precision):
     """COCO 101-point interpolated AP."""
     mrec = np.concatenate([[0.0], recall, [1.0]])
@@ -64,6 +101,46 @@ def _average_precision(recall, precision):
     levels = np.linspace(0.0, 1.0, 101)
     idx = np.searchsorted(mrec, levels, side="left")
     return float(np.mean(mpre[np.clip(idx, 0, len(mpre) - 1)]))
+
+
+def _greedy_match_image(ious, iof_max, thrs):
+    """Greedy score-ordered matching for one image's class-c detections.
+
+    Args:
+        ious: (D, G) IoU vs non-ignored class-c GT; det rows score-descending.
+        iof_max: (D,) max intersection-over-det-area vs ignored class-c GT
+            (zeros when there are none).
+        thrs: (T,) IoU thresholds.
+
+    Returns:
+        tp (T, D) bool — detection matched a free GT at that threshold;
+        ign (T, D) bool — unmatched but overlapping an ignore region
+            (excluded from both TP and FP).
+
+    One python step per detection (D <= max_dets); everything inside is
+    vectorized over thresholds x GTs simultaneously — greedy matching is
+    sequential in the detections by definition (each claim frees/locks GT
+    for the next), but independent across thresholds.
+    """
+    thrs = np.asarray(thrs, np.float64)
+    T, (D, G) = len(thrs), ious.shape
+    tp = np.zeros((T, D), bool)
+    ign = np.zeros((T, D), bool)
+    if D == 0:
+        return tp, ign
+    if G == 0:
+        ign[:] = iof_max[None, :] >= thrs[:, None]
+        return tp, ign
+    matched = np.zeros((T, G), bool)
+    t_idx = np.arange(T)
+    for d in range(D):
+        cand = np.where(matched, -1.0, ious[d][None, :])  # (T, G)
+        best = cand.argmax(axis=1)
+        ok = cand[t_idx, best] >= thrs
+        matched[ok, best[ok]] = True
+        tp[:, d] = ok
+        ign[:, d] = ~ok & (iof_max[d] >= thrs)
+    return tp, ign
 
 
 def eval_spherical_map(
@@ -79,7 +156,9 @@ def eval_spherical_map(
     Args:
         det_results: per image (boxes (K, D), scores (K,), labels (K,))
             numpy arrays (invalid rows removed or scored 0).
-        annotations: per image dicts with 'boxes' (G, D) and 'labels' (G,).
+        annotations: per image dicts with 'boxes' (G, D) and 'labels' (G,),
+            plus optional 'ignore_boxes' (I, D) / 'ignore_labels' (I,)
+            crowd/ignore regions (COCO iscrowd).
         num_classes: number of foreground classes.
         backend: spherical IoU backend used for matching.
 
@@ -88,65 +167,68 @@ def eval_spherical_map(
     """
     n_imgs = len(det_results)
     assert len(annotations) == n_imgs
+    thrs = np.asarray(list(iou_thrs), np.float64)
+    n_thrs = len(thrs)
 
-    # Precompute per-image IoU between its dets and gts (class-agnostic).
-    iou_mats = []
+    # Score-order (and cap) each image's detections once, then precompute the
+    # class-agnostic det x gt IoU matrix (device) and det x ignore IoF.
+    ordered, iou_mats, iof_mats = [], [], []
     for (boxes, scores, labels), ann in zip(det_results, annotations):
-        order = np.argsort(-np.asarray(scores))[:max_dets]
+        order = np.argsort(-np.asarray(scores), kind="stable")[:max_dets]
         boxes = np.asarray(boxes)[order]
-        iou_mats.append(_pairwise_iou_np(boxes, np.asarray(ann["boxes"]), backend))
-    ordered = []
-    for (boxes, scores, labels) in det_results:
-        order = np.argsort(-np.asarray(scores))[:max_dets]
-        ordered.append((np.asarray(boxes)[order], np.asarray(scores)[order],
+        ordered.append((boxes, np.asarray(scores)[order],
                         np.asarray(labels)[order]))
+        iou_mats.append(_pairwise_iou_np(boxes, np.asarray(ann["boxes"]),
+                                         backend))
+        ig = np.asarray(ann.get("ignore_boxes",
+                                np.zeros((0, 4), np.float32)))
+        iof_mats.append(_pairwise_iof_np(boxes, ig, backend))
 
-    ap = np.zeros((len(iou_thrs), num_classes))
+    ap = np.zeros((n_thrs, num_classes))
     valid_class = np.zeros(num_classes, bool)
 
     for c in range(num_classes):
-        # gather detections of class c across images
-        recs = []
+        scores_c, tp_c, ign_c = [], [], []
         n_gt_total = 0
-        per_img_gt_idx = []
         for i in range(n_imgs):
-            gt_idx = np.where(np.asarray(annotations[i]["labels"]) == c)[0]
-            per_img_gt_idx.append(gt_idx)
+            ann = annotations[i]
+            gt_idx = np.where(np.asarray(ann["labels"]) == c)[0]
             n_gt_total += len(gt_idx)
             _, scores, labels = ordered[i]
-            for k in np.where(labels == c)[0]:
-                recs.append((float(scores[k]), i, int(k)))
+            det_idx = np.where(labels == c)[0]
+            if len(det_idx) == 0:
+                continue
+            ig_labels = np.asarray(ann.get("ignore_labels",
+                                           np.zeros((0,), np.int32)))
+            ig_idx = np.where(ig_labels == c)[0]
+            iof = iof_mats[i][det_idx][:, ig_idx]
+            iof_max = iof.max(axis=1) if iof.size else np.zeros(len(det_idx))
+            tp, ign = _greedy_match_image(
+                iou_mats[i][det_idx][:, gt_idx], iof_max, thrs)
+            scores_c.append(scores[det_idx])
+            tp_c.append(tp)
+            ign_c.append(ign)
         if n_gt_total == 0:
             continue
         valid_class[c] = True
-        recs.sort(key=lambda r: -r[0])
+        if scores_c:
+            scores_all = np.concatenate(scores_c)
+            tp_all = np.concatenate(tp_c, axis=1)
+            ign_all = np.concatenate(ign_c, axis=1)
+            order = np.argsort(-scores_all, kind="stable")
+            tp_all = tp_all[:, order]
+            ign_all = ign_all[:, order]
+            for t_i in range(n_thrs):
+                keep = ~ign_all[t_i]
+                tp_t = tp_all[t_i, keep].astype(np.float64)
+                ctp = np.cumsum(tp_t)
+                cfp = np.cumsum(1.0 - tp_t)
+                recall = ctp / n_gt_total
+                precision = ctp / np.maximum(ctp + cfp, 1e-9)
+                ap[t_i, c] = _average_precision(recall, precision)
 
-        for t_i, thr in enumerate(iou_thrs):
-            matched = [np.zeros(len(g), bool) for g in per_img_gt_idx]
-            tp = np.zeros(len(recs))
-            fp = np.zeros(len(recs))
-            for r_i, (_, img, det_k) in enumerate(recs):
-                gt_idx = per_img_gt_idx[img]
-                if len(gt_idx) == 0:
-                    fp[r_i] = 1
-                    continue
-                ious = iou_mats[img][det_k, gt_idx]
-                free = ~matched[img]
-                cand = np.where(free, ious, -1.0)
-                best = int(np.argmax(cand))
-                if cand[best] >= thr:
-                    matched[img][best] = True
-                    tp[r_i] = 1
-                else:
-                    fp[r_i] = 1
-            ctp = np.cumsum(tp)
-            cfp = np.cumsum(fp)
-            recall = ctp / n_gt_total
-            precision = ctp / np.maximum(ctp + cfp, 1e-9)
-            ap[t_i, c] = _average_precision(recall, precision)
-
-    mean_over_cls = ap[:, valid_class].mean(axis=1) if valid_class.any() else np.zeros(len(iou_thrs))
-    thr_list = list(iou_thrs)
+    mean_over_cls = ap[:, valid_class].mean(axis=1) if valid_class.any() else np.zeros(n_thrs)
+    thr_list = [float(t) for t in thrs]
     return {
         "mAP": float(mean_over_cls.mean()),
         "AP50": float(mean_over_cls[thr_list.index(0.5)]) if 0.5 in thr_list else None,

@@ -48,9 +48,12 @@ def evaluate_dataset(
     if predict is None:
         predict = make_predict_step(model, cfg)
     acc = {k: [] for k in ("boxes", "scores", "labels", "valid",
-                           "gt_boxes", "gt_labels", "gt_mask", "img_id")}
+                           "gt_boxes", "gt_labels", "gt_mask",
+                           "ig_boxes", "ig_labels", "ig_mask", "img_id")}
     for batch in loader.epoch(0):
         res = predict(variables, jnp.asarray(batch["images"]))
+        b = batch["gt_boxes"].shape[0]
+        d = batch["gt_boxes"].shape[-1]
         acc["boxes"].append(np.asarray(res.boxes))
         acc["scores"].append(np.asarray(res.scores))
         acc["labels"].append(np.asarray(res.labels))
@@ -58,6 +61,13 @@ def evaluate_dataset(
         acc["gt_boxes"].append(np.asarray(batch["gt_boxes"]))
         acc["gt_labels"].append(np.asarray(batch["gt_labels"]))
         acc["gt_mask"].append(np.asarray(batch["gt_mask"]))
+        # Crowd/ignore regions (COCO iscrowd) — absent from synthetic batches
+        acc["ig_boxes"].append(np.asarray(
+            batch.get("ig_boxes", np.ones((b, 1, d), np.float32))))
+        acc["ig_labels"].append(np.asarray(
+            batch.get("ig_labels", np.zeros((b, 1), np.int32))))
+        acc["ig_mask"].append(np.asarray(
+            batch.get("ig_mask", np.zeros((b, 1), bool))))
         acc["img_id"].append(np.asarray(
             batch.get("img_id", np.full(res.boxes.shape[0], -1, np.int64))))
     arrays = {k: np.concatenate(v, axis=0) for k, v in acc.items()}
@@ -78,9 +88,12 @@ def evaluate_dataset(
         det_results.append((arrays["boxes"][i][v], arrays["scores"][i][v],
                             arrays["labels"][i][v]))
         m = arrays["gt_mask"][i]
+        im = arrays["ig_mask"][i]
         annotations.append({
             "boxes": arrays["gt_boxes"][i][m],
             "labels": arrays["gt_labels"][i][m],
+            "ignore_boxes": arrays["ig_boxes"][i][im],
+            "ignore_labels": arrays["ig_labels"][i][im],
         })
     kwargs = {} if iou_thrs is None else {"iou_thrs": iou_thrs}
     metrics = eval_spherical_map(
