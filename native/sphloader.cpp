@@ -9,8 +9,12 @@
 // C ABI:
 //   int sph_load_image(path, out, H, W, mean3, std3, flip) -> 0 on success
 //   int sph_load_batch(paths, n, out, H, W, mean3, std3, flips, n_threads)
+//   int sph_load_image_u8(path, out, H, W, flip)
+//   int sph_load_batch_u8(paths, n, out, H, W, flips, n_threads)
 //
-// `out` is float32 NHWC.
+// `out` is float32 NHWC (normalized) or uint8 NHWC (_u8 variants — for the
+// ship-uint8 / normalize-on-device pipeline: 4x fewer host->device bytes,
+// the (x-mean)/std runs inside the jitted step and fuses into conv1).
 
 #include <cstdio>
 #include <cstdlib>
@@ -156,6 +160,40 @@ void resize_normalize(const Image& img, float* out, int oh, int ow,
   }
 }
 
+// Bilinear resize + optional horizontal flip, rounded back to uint8 (the
+// same quantization PIL's uint8 resize applies, so the device-normalized
+// values match the PIL-decode path bit for bit).
+void resize_u8(const Image& img, unsigned char* out, int oh, int ow,
+               int flip) {
+  const float sx = float(img.w) / ow;
+  const float sy = float(img.h) / oh;
+  for (int y = 0; y < oh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = (int)floorf(fy);
+    float wy = fy - y0;
+    int y0c = y0 < 0 ? 0 : (y0 >= img.h ? img.h - 1 : y0);
+    int y1c = y0 + 1 < 0 ? 0 : (y0 + 1 >= img.h ? img.h - 1 : y0 + 1);
+    const unsigned char* r0 = img.data.data() + size_t(y0c) * img.w * 3;
+    const unsigned char* r1 = img.data.data() + size_t(y1c) * img.w * 3;
+    unsigned char* orow = out + size_t(y) * ow * 3;
+    for (int x = 0; x < ow; ++x) {
+      int xd = flip ? (ow - 1 - x) : x;
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = (int)floorf(fx);
+      float wx = fx - x0;
+      int x0c = x0 < 0 ? 0 : (x0 >= img.w ? img.w - 1 : x0);
+      int x1c = x0 + 1 < 0 ? 0 : (x0 + 1 >= img.w ? img.w - 1 : x0 + 1);
+      for (int c = 0; c < 3; ++c) {
+        float top = r0[x0c * 3 + c] * (1 - wx) + r0[x1c * 3 + c] * wx;
+        float bot = r1[x0c * 3 + c] * (1 - wx) + r1[x1c * 3 + c] * wx;
+        float v = top * (1 - wy) + bot * wy;
+        v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+        orow[xd * 3 + c] = (unsigned char)(v + 0.5f);
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -183,6 +221,37 @@ int sph_load_batch(const char** paths, int n, float* out, int oh, int ow,
                          flips ? flips[i] : 0) != 0) {
         failed.fetch_add(1);
         memset(dst, 0, size_t(oh) * ow * 3 * sizeof(float));
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load();
+}
+
+int sph_load_image_u8(const char* path, unsigned char* out, int oh, int ow,
+                      int flip) {
+  Image img;
+  if (!load_rgb(path, &img)) return 1;
+  resize_u8(img, out, oh, ow, flip);
+  return 0;
+}
+
+int sph_load_batch_u8(const char** paths, int n, unsigned char* out, int oh,
+                      int ow, const int* flips, int n_threads) {
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next(0), failed(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      unsigned char* dst = out + size_t(i) * oh * ow * 3;
+      if (sph_load_image_u8(paths[i], dst, oh, ow,
+                            flips ? flips[i] : 0) != 0) {
+        failed.fetch_add(1);
+        memset(dst, 0, size_t(oh) * ow * 3);
       }
     }
   };

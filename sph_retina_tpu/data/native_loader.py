@@ -101,6 +101,22 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
+    # uint8 variants (ship-uint8 / normalize-on-device pipeline); absent in
+    # a shared object built before they existed — a rebuild adds them.
+    try:
+        lib.sph_load_image_u8.restype = ctypes.c_int
+        lib.sph_load_image_u8.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.sph_load_batch_u8.restype = ctypes.c_int
+        lib.sph_load_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
@@ -124,6 +140,24 @@ def load_image(path: str, img_size, mean, std, flip: bool = False):
     std = np.ascontiguousarray(std, np.float32)
     rc = lib.sph_load_image(path.encode(), _fptr(out), h, w, _fptr(mean),
                             _fptr(std), int(flip))
+    return out if rc == 0 else None
+
+
+def load_image_u8(path: str, img_size, flip: bool = False):
+    """Decode+resize (+flip) one image -> (H, W, 3) uint8, or None.
+
+    For the normalize-on-device pipeline: same PIL-equivalent uint8
+    quantization after bilinear resize, normalization deferred to the
+    jitted step (engine.train.maybe_normalize_images).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "sph_load_image_u8"):
+        return None
+    h, w = img_size
+    out = np.empty((h, w, 3), np.uint8)
+    rc = lib.sph_load_image_u8(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        h, w, int(flip))
     return out if rc == 0 else None
 
 

@@ -37,6 +37,11 @@ class SphPipeline:
     # Crowd/ignore regions (COCO iscrowd) carried for evaluation only;
     # padded separately from training GT.
     max_ignore: int = 16
+    # Ship raw uint8 to the device and let the jitted step normalize
+    # (engine.train.maybe_normalize_images): 4x fewer bytes per batch over
+    # PCIe/tunnel, identical numerics (source pixels are uint8 either way),
+    # and the (x - mean) / std fuses into the first conv under XLA.
+    normalize_on_device: bool = False
 
     def __post_init__(self):
         self.mean = IMAGENET_MEAN if self.mean is None else self.mean
@@ -79,13 +84,17 @@ class SphPipeline:
         boxes = np.asarray(item["boxes"], np.float32).reshape(-1, self.box_version)
         img = None
         if "image" not in item:
-            # native C++ fast path: decode+resize+normalize+flip in one pass
+            # native C++ fast path: decode+resize(+normalize)+flip fused
             from . import native_loader
 
             if native_loader.available():
-                img = native_loader.load_image(
-                    item["img_path"], self.img_size, self.mean, self.std,
-                    flip=do_flip)
+                if self.normalize_on_device:
+                    img = native_loader.load_image_u8(
+                        item["img_path"], self.img_size, flip=do_flip)
+                else:
+                    img = native_loader.load_image(
+                        item["img_path"], self.img_size, self.mean, self.std,
+                        flip=do_flip)
         if img is None:
             raw = item.get("image")
             if raw is None:
@@ -93,7 +102,11 @@ class SphPipeline:
             raw = self.resize(raw)
             if do_flip:
                 raw = raw[:, ::-1]
-            img = self.normalize(raw)
+            if self.normalize_on_device:
+                # keep uint8; the jitted step normalizes on device
+                img = np.ascontiguousarray(raw)
+            else:
+                img = self.normalize(raw)
         ig_boxes = np.asarray(
             item.get("ignore_boxes", np.zeros((0, self.box_version))),
             np.float32).reshape(-1, self.box_version)

@@ -110,6 +110,7 @@ def build_datasets(cfg: dict, split: str = "train", num_shards: int = 1,
         max_gt=cfg["data"].get("max_gt", 64),
         box_version=cfg["model"].get("box_version", 4),
         training=split == "train",
+        normalize_on_device=cfg["data"].get("normalize_on_device", False),
     )
     loader = DataLoader(
         ds, pipe,

@@ -15,7 +15,10 @@ def make_predict_step(model, cfg: DetectorConfig):
 
     @jax.jit
     def predict(variables, images):
-        cls_scores, bbox_preds = model.apply(variables, images)
+        from .train import maybe_normalize_images
+
+        cls_scores, bbox_preds = model.apply(
+            variables, maybe_normalize_images(images))
         return retina_predict(cfg, cls_scores, bbox_preds, level_anchors)
 
     return predict

@@ -167,6 +167,26 @@ def create_train_state(model, cfg, rng, tx, sample_images) -> TrainState:
     )
 
 
+def maybe_normalize_images(images: jax.Array) -> jax.Array:
+    """Normalize uint8 image batches on device (ImageNet mean/std).
+
+    The host pipeline can ship raw uint8 (``SphPipeline(normalize_on_device=
+    True)``): 4x fewer bytes over PCIe/tunnel per batch, and XLA fuses the
+    ``(x - mean) / std`` into the first convolution's input — the "fused
+    host+device preprocessing" path. float inputs pass through unchanged
+    (already normalized host-side). Numerically identical either way: the
+    source pixels are uint8, so normalizing them on host or on device
+    computes the same fp32 values.
+    """
+    if images.dtype != jnp.uint8:
+        return images
+    from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (images.astype(jnp.float32) - mean) / std
+
+
 def make_train_step(model, cfg, tx, loss_fn: Callable):
     """Build the jitted DP train step.
 
@@ -176,10 +196,12 @@ def make_train_step(model, cfg, tx, loss_fn: Callable):
     anchors = cfg.flat_anchors()
 
     def train_step(state: TrainState, batch: dict):
+        images = maybe_normalize_images(batch["images"])
+
         def compute_loss(params):
             cls_scores, bbox_preds = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["images"],
+                images,
             )
             losses = loss_fn(
                 cfg, cls_scores, bbox_preds, anchors,

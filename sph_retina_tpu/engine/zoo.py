@@ -23,7 +23,7 @@ from ..models import faster_rcnn as frcnn
 from ..models.fcos import fcos_config, fcos_loss, fcos_predict
 from ..models.single_stage import retina_loss, retina_predict
 from ..models.ssd import ssd_config, ssd_loss, ssd_predict
-from .train import TrainState
+from .train import TrainState, maybe_normalize_images
 
 
 def _common(cfg_dict):
@@ -71,6 +71,7 @@ class RetinaNetFamily:
         level_anchors = cfg.anchor_generator.grid_anchors(cfg.featmap_sizes())
 
         def f(variables, images):
+            images = maybe_normalize_images(images)
             cls, reg = model.apply(variables, images)
             return retina_predict(cfg, cls, reg, level_anchors)
 
@@ -106,6 +107,7 @@ class FCOSFamily:
     @staticmethod
     def predict_fn(model, cfg):
         def f(variables, images):
+            images = maybe_normalize_images(images)
             cls, reg, ctr = model.apply(variables, images)
             return fcos_predict(cfg, cls, reg, ctr)
 
@@ -143,6 +145,7 @@ class SSDFamily:
     @staticmethod
     def predict_fn(model, cfg):
         def f(variables, images):
+            images = maybe_normalize_images(images)
             cls, reg = model.apply(variables, images)
             return ssd_predict(cfg, cls, reg)
 
@@ -212,6 +215,7 @@ class FasterRCNNFamily:
     @staticmethod
     def predict_fn(model, cfg):
         def f(variables, images):
+            images = maybe_normalize_images(images)
             (rpn_cls, rpn_reg), feats = model.apply(variables, images)
             props, _, pvalid = frcnn.rpn_proposals(cfg, rpn_cls, rpn_reg)
             rf = frcnn.roi_features(cfg, feats, props)
@@ -252,7 +256,10 @@ def make_generic_train_step(family, model, cfg, tx, seed: int = 0):
     base_rng = jax.random.PRNGKey(seed)
 
     def train_step(state: TrainState, batch: dict):
+        from .train import maybe_normalize_images
+
         rng = jax.random.fold_in(base_rng, state.step)
+        batch = dict(batch, images=maybe_normalize_images(batch["images"]))
         variables = {"params": None, "batch_stats": state.batch_stats}
 
         def compute(params):

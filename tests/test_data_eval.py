@@ -296,6 +296,33 @@ def test_coco_dataset_carries_crowd_as_ignore(tmp_path):
     assert out["ig_labels"][0] == 0
 
 
+def test_uint8_pipeline_device_normalize_identical():
+    """normalize_on_device=True ships uint8 and normalizes inside the jitted
+    step — bitwise the same fp32 values as host-side normalization (source
+    pixels are uint8 either way), at 1/4 the host->device bytes."""
+    import jax.numpy as jnp
+
+    from sph_retina_tpu.engine.train import maybe_normalize_images
+
+    rng_img = np.random.default_rng(0)
+    item = {
+        "image": rng_img.integers(0, 256, (32, 64, 3), np.uint8),
+        "boxes": np.array([[100.0, 90.0, 30.0, 30.0]], np.float32),
+        "labels": np.array([1], np.int32),
+    }
+    host = SphPipeline(img_size=(32, 64), flip_ratio=1.0, max_gt=4)
+    dev = SphPipeline(img_size=(32, 64), flip_ratio=1.0, max_gt=4,
+                      normalize_on_device=True)
+    out_host = host(dict(item), np.random.default_rng(3))
+    out_dev = dev(dict(item), np.random.default_rng(3))
+    assert out_dev["images"].dtype == np.uint8
+    normed = np.asarray(maybe_normalize_images(jnp.asarray(out_dev["images"])))
+    np.testing.assert_array_equal(normed, out_host["images"])
+    # float inputs pass through untouched
+    passthrough = maybe_normalize_images(jnp.asarray(out_host["images"]))
+    np.testing.assert_array_equal(np.asarray(passthrough), out_host["images"])
+
+
 def test_native_loader_matches_pil(tmp_path):
     from sph_retina_tpu.data import native_loader as nl
     from sph_retina_tpu.data.pipeline import (
@@ -327,6 +354,44 @@ def test_native_loader_matches_pil(tmp_path):
                                   IMAGENET_MEAN, IMAGENET_STD)
     assert failed == 1
     assert np.all(batch[1] == 0)
+
+
+def test_native_loader_u8_path(tmp_path):
+    """The uint8 native path (normalize_on_device) keeps the C++ fast path:
+    decode+resize+flip in C++, PIL-equivalent uint8 quantization, and
+    device-normalized values within one quantum of the fused float path."""
+    from sph_retina_tpu.data import native_loader as nl
+    from sph_retina_tpu.data.pipeline import (
+        IMAGENET_MEAN, IMAGENET_STD, SphPipeline,
+    )
+    if not nl.available():
+        import pytest
+
+        pytest.skip("native loader not built")
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (64, 128, 3), np.uint8)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(img).save(p)
+    # same-size: identity decode, and flip semantics
+    np.testing.assert_array_equal(nl.load_image_u8(p, (64, 128)), img)
+    np.testing.assert_array_equal(
+        nl.load_image_u8(p, (64, 128), flip=True), img[:, ::-1])
+    # resized: normalize(u8) matches the fused float path up to the uint8
+    # quantization step (0.5 / std per channel)
+    u8 = nl.load_image_u8(p, (32, 64)).astype(np.float32)
+    f32 = nl.load_image(p, (32, 64), IMAGENET_MEAN, IMAGENET_STD)
+    np.testing.assert_allclose((u8 - IMAGENET_MEAN) / IMAGENET_STD, f32,
+                               atol=0.5 / IMAGENET_STD.min())
+    # the pipeline selects the u8 native path for on-disk items
+    pipe = SphPipeline(img_size=(32, 64), max_gt=4, training=False,
+                       normalize_on_device=True)
+    out = pipe({"img_path": p, "boxes": np.zeros((0, 4), np.float32),
+                "labels": np.zeros((0,), np.int32)},
+               np.random.default_rng(0))
+    assert out["images"].dtype == np.uint8
+    np.testing.assert_array_equal(out["images"], u8.astype(np.uint8))
 
 
 def test_diff_seed_changes_aug_not_shuffle():
