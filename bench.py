@@ -27,6 +27,10 @@ ITERS = int(os.environ.get("BENCH_ITERS", 100))
 BASELINE_MPAIRS_S = 104.2  # reference CUDA, 1M pairs / 0.0096 s
 A100_TRAIN_IMGS_S = 26.0   # estimated, BASELINE.md "A100 estimate" section
 A100_INFER_IMGS_S = 70.0   # estimated, BASELINE.md "A100 estimate" section
+# Reference deg2kent host loop (kent_formator.py:833-839), measured directly
+# on this machine's CPU via the reference's own module (BASELINE.md "Kent").
+REF_DEG2KENT_BOXES_S = 293.0
+V5E_PEAK_BF16_FLOPS = 197e12  # one v5e chip, bf16 (public spec)
 
 
 def _import_jax():
@@ -127,6 +131,218 @@ def bench_unbiased(n=1_000_000):
         t_short, t_long = timed(2), timed(10)
         best = min(best, (t_long - t_short) / 8)
     return best
+
+
+def bench_consistency(n=N, k_pairwise=1024):
+    """Correctness statistics vs the on-device unbiased oracle (VERDICT r2
+    item 2): Pearson R (all / low-latitude / high-latitude pairs) and
+    mean/max abs error for the sph2pob_efficient aligned path and both
+    Pallas kernels, on the reference's random-box distribution. Latitude
+    split: a pair is "low" when both centers are within 45 deg of the
+    equator (|phi - 90| < 45), "high" otherwise — the paper's R_low/R_high
+    axis (pole distortion is what the approximations get wrong)."""
+    from sph_retina_tpu.iou import sph_overlaps
+    from sph_retina_tpu.ops import (
+        sph2pob_iou_aligned_tpu,
+        sph2pob_iou_pairwise_tpu,
+    )
+
+    b1 = jnp.asarray(generate_boxes(n, 4, seed=21))
+    b2 = jnp.asarray(generate_boxes(n, 4, seed=22))
+
+    @jax.jit
+    def stats(x, g, mask):
+        m = mask.astype(jnp.float32)
+        cnt = jnp.sum(m)
+        mx = jnp.sum(x * m) / cnt
+        mg = jnp.sum(g * m) / cnt
+        dx = (x - mx) * m
+        dg = (g - mg) * m
+        r = jnp.sum(dx * dg) * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(dx * dx) * jnp.sum(dg * dg), 1e-30))
+        err = jnp.abs(x - g) * m
+        return r, jnp.sum(err) / cnt, jnp.max(err)
+
+    gold = jax.jit(
+        lambda a, b: sph_overlaps(a, b, "unbiased", is_aligned=True))(b1, b2)
+    low = (jnp.abs(b1[:, 1] - 90.0) < 45.0) & (jnp.abs(b2[:, 1] - 90.0) < 45.0)
+    every = jnp.ones_like(low)
+
+    out = {}
+
+    def record(prefix, vals, gold_vals, low_mask):
+        r, me, xe = stats(vals, gold_vals, jnp.ones(vals.shape, bool))
+        out[f"{prefix}_pearson_r"] = round(float(r), 4)
+        out[f"{prefix}_mean_err"] = round(float(me), 5)
+        out[f"{prefix}_max_err"] = round(float(xe), 4)
+        if low_mask is not None:
+            rl, _, _ = stats(vals, gold_vals, low_mask)
+            rh, _, _ = stats(vals, gold_vals, ~low_mask)
+            out[f"{prefix}_pearson_r_low"] = round(float(rl), 4)
+            out[f"{prefix}_pearson_r_high"] = round(float(rh), 4)
+
+    eff = jax.jit(lambda a, b: sph_overlaps(
+        a, b, "sph2pob_efficient", is_aligned=True))(b1, b2)
+    record("sph2pob", eff, gold, low)
+    record("pallas_aligned", sph2pob_iou_aligned_tpu(b1, b2), gold, low)
+
+    # Pairwise Pallas kernel vs the pairwise oracle (assignment semantics).
+    p1, p2 = b1[:k_pairwise], b2[:k_pairwise]
+    pv = sph2pob_iou_pairwise_tpu(p1, p2).ravel()
+    pg = jax.jit(lambda a, b: sph_overlaps(a, b, "unbiased"))(p1, p2).ravel()
+    record("pallas_pairwise", pv, pg, None)
+    return out
+
+
+def bench_kent(batch=8, h=512, w=1024, n=131072):
+    """Kent path end to end (VERDICT r2 item 8): vectorized on-device
+    deg2kent throughput (reference: per-box host python loop,
+    kent_formator.py:833-839, measured at ~293 boxes/s on this host) and a
+    device-steady Kent-RetinaNet train rate (Kent-KLD assignment + KentLoss,
+    configs/sph_kent_retinanet_r50_fpn_120e_indoor360.py)."""
+    from sph_retina_tpu.iou.kent import deg2kent
+
+    b = jnp.asarray(generate_boxes(n, 4, seed=31))
+
+    @jax.jit
+    def loop(x, iters):
+        def body(i, acc):
+            return acc + jnp.sum(deg2kent(x + i.astype(jnp.float32) * 1e-6))
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(loop(b, 1))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter(); float(loop(b, 5)); ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(loop(b, 50)); tl = time.perf_counter() - t0
+        best = min(best, (tl - ts) / 45)
+    out = {
+        "deg2kent_boxes_per_sec": round(n / best),
+        "deg2kent_vs_reference_host_loop": round(
+            n / best / REF_DEG2KENT_BOXES_S),
+    }
+
+    # Device-steady Kent-RetinaNet train rate (small step count: the Kent
+    # assignment path compiles its own programs).
+    from sph_retina_tpu.engine import create_train_state, make_train_step
+    from sph_retina_tpu.engine.builder import build_tx
+    from sph_retina_tpu.engine.zoo import get_family
+    from sph_retina_tpu.models.single_stage import retina_loss
+    from sph_retina_tpu.utils.config import load_config
+
+    file_cfg = load_config("configs/sph_kent_retinanet_r50_fpn_120e_indoor360.py")
+    nc = file_cfg["model"]["num_classes"]
+    model, cfg = get_family(file_cfg).build(file_cfg)
+    tx = build_tx(file_cfg, 100)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (batch, h, w, 3), jnp.float32)
+    max_gt = 16
+    boxes = jnp.stack([jnp.asarray(generate_boxes(max_gt, 4, seed=i))
+                       for i in range(batch)])
+    train_batch = {
+        "images": images,
+        "gt_boxes": boxes,
+        "gt_labels": jnp.tile(jnp.arange(max_gt) % nc, (batch, 1)),
+        "gt_mask": jnp.tile(jnp.arange(max_gt) < max_gt // 2, (batch, 1)),
+    }
+    state = create_train_state(model, cfg, rng, tx, images[:1])
+    step = make_train_step(model, cfg, tx, retina_loss)
+
+    @jax.jit
+    def many(st, niter):
+        def body(i, carry):
+            s0, acc = carry
+            s2, met = step(s0, train_batch)
+            return s2, acc + met["loss"]
+        return jax.lax.fori_loop(0, niter, body, (st, 0.0))[1]
+
+    float(many(state, 1))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter(); float(many(state, 2)); ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(many(state, 10)); tl = time.perf_counter() - t0
+        best = min(best, (tl - ts) / 8)
+    out["kent_train_device_steady_imgs_per_sec"] = round(batch / best, 1)
+    return out
+
+
+def bench_e2e_pipeline(step, state, batch=8, h=512, w=1024, max_gt=16,
+                       n_images=256):
+    """Disk-to-device training throughput through the real input pipeline
+    (VERDICT r2 item 4/5): JPEGs on disk -> native C++ (or PIL) decode ->
+    resize -> flip -> normalize -> pad -> prefetch -> jitted train step.
+    ``step``/``state`` come from bench_retinanet so the measured device work
+    is identical to the device-steady number it is compared against."""
+    import numpy as np
+
+    from sph_retina_tpu.data import DataLoader, SphPipeline
+
+    cache = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"sph_retina_bench_jpegs_{h}x{w}_{n_images}")
+    marker = os.path.join(cache, ".complete")
+    if not os.path.exists(marker):
+        from PIL import Image
+
+        os.makedirs(cache, exist_ok=True)
+        # Structured content (gradients + blocks), not noise: noise JPEGs
+        # are pathological to encode/decode and 3x the realistic file size.
+        yy, xx = np.mgrid[0:h, 0:w]
+        for i in range(n_images):
+            r = np.random.default_rng(i)
+            img = np.stack([
+                (xx * (0.1 + 0.1 * (i % 5)) + r.integers(0, 60)) % 256,
+                (yy * 0.3 + r.integers(0, 60)) % 256,
+                ((xx + yy) * 0.2) % 256,
+            ], -1).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(cache, f"{i}.jpg"), quality=85)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    class _DiskDataset:
+        def __len__(self):
+            return n_images
+
+        def __getitem__(self, idx):
+            r = np.random.default_rng((99, idx))
+            nb = max_gt // 2
+            return {
+                "img_id": idx,
+                "img_path": os.path.join(cache, f"{idx}.jpg"),
+                "boxes": generate_boxes(nb, 4, seed=idx),
+                "labels": r.integers(0, 37, nb).astype(np.int32),
+            }
+
+    # uint8 host pipeline + on-device normalize: 4x fewer bytes per batch
+    # into the device (decisive over the axon tunnel at ~30-40 MB/s; still
+    # the right default over PCIe), numerics identical.
+    pipe = SphPipeline(img_size=(h, w), max_gt=max_gt, training=True,
+                       normalize_on_device=True)
+    loader = DataLoader(_DiskDataset(), pipe, batch_size=batch,
+                        num_workers=8, prefetch=4, seed=0)
+
+    def run_epoch(epoch, st):
+        n_done = 0
+        for b in loader.epoch(epoch):
+            st, met = step(st, {
+                "images": jnp.asarray(b["images"]),
+                "gt_boxes": jnp.asarray(b["gt_boxes"]),
+                "gt_labels": jnp.asarray(b["gt_labels"]),
+                "gt_mask": jnp.asarray(b["gt_mask"]),
+            })
+            n_done += batch
+        # one scalar fetch drains the device queue (axon: block_until_ready
+        # does not block; fetching a computed value does)
+        float(jnp.asarray(met["loss"], jnp.float32))
+        return st, n_done
+
+    state, _ = run_epoch(0, state)           # warm: decode cache, compile
+    t0 = time.perf_counter()
+    state, n1 = run_epoch(1, state)
+    state, n2 = run_epoch(2, state)
+    dt = time.perf_counter() - t0
+    return (n1 + n2) / dt
 
 
 def bench_retinanet(batch=8, h=512, w=1024, max_gt=16, n_timed=10):
@@ -239,7 +455,21 @@ def bench_retinanet(batch=8, h=512, w=1024, max_gt=16, n_timed=10):
 
     train_dev = device_rate(many_train, state)
     infer_dev = device_rate(many_infer, images)
-    return train_ips, infer_ips, train_dev, infer_dev
+
+    # MFU (VERDICT r2 item 4): post-fusion HLO FLOPs of the full train step
+    # (fwd + bwd + SGD update) from XLA's own cost analysis, against the
+    # device-steady step time and the chip's bf16 peak.
+    mfu = None
+    try:
+        cost = step.lower(state, train_batch).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0))
+        if step_flops > 0:
+            mfu = step_flops * (train_dev / batch) / V5E_PEAK_BF16_FLOPS
+    except Exception:
+        pass
+    return train_ips, infer_ips, train_dev, infer_dev, mfu, (step, state)
 
 
 def _checkpoint_partial(result):
@@ -278,7 +508,14 @@ def run_benchmarks():
         extra["kernel_error"] = f"{type(e).__name__}: {e}"[:200]
     _checkpoint_partial(result)
     try:
-        train_ips, infer_ips, train_dev, infer_dev = bench_retinanet()
+        extra.update(bench_consistency())
+    except Exception as e:
+        extra["consistency_error"] = f"{type(e).__name__}: {e}"[:200]
+    _checkpoint_partial(result)
+    step_state = None
+    try:
+        (train_ips, infer_ips, train_dev, infer_dev, mfu,
+         step_state) = bench_retinanet()
         extra.update({
             "retinanet_train_imgs_per_sec": round(train_ips, 1),
             "retinanet_train_vs_a100_estimate": round(
@@ -290,8 +527,22 @@ def run_benchmarks():
             "retinanet_infer_device_steady_imgs_per_sec": round(infer_dev, 1),
             "config": "RetinaNet-R50-FPN BFoV B=8 512x1024 bf16 max_gt=16",
         })
+        if mfu is not None:
+            extra["retinanet_train_mfu"] = round(mfu, 3)
     except Exception as e:  # never lose the primary metric to a flaky extra
         extra["error"] = f"{type(e).__name__}: {e}"[:200]
+    _checkpoint_partial(result)
+    if step_state is not None:
+        try:
+            extra["train_e2e_imgs_per_sec"] = round(
+                bench_e2e_pipeline(*step_state), 1)
+        except Exception as e:
+            extra["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
+    _checkpoint_partial(result)
+    try:
+        extra.update(bench_kent())
+    except Exception as e:
+        extra["kent_error"] = f"{type(e).__name__}: {e}"[:200]
     extra.pop("partial", None)
     _checkpoint_partial(result)
     print(json.dumps(result))
