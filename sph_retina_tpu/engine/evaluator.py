@@ -102,6 +102,9 @@ def evaluate_dataset(
     metrics = eval_spherical_map(
         det_results, annotations, cfg.num_classes, backend=backend, **kwargs
     )
+    # Post-dedup image count: observability for the distributed gather
+    # (must equal the dataset size — wrap-pad duplicates removed exactly).
+    metrics["n_images"] = int(arrays["boxes"].shape[0])
     if return_raw:
         return metrics, arrays
     return metrics

@@ -133,19 +133,46 @@ class Checkpointer:
     def save(self, state: TrainState, epoch: int, metric: float | None = None):
         path = os.path.join(self.dir, f"epoch_{epoch}")
         self._ckpt.save(path, state, force=True)
+        # Orbax saves are ASYNC (finalized by a background commit); only
+        # advance latest.txt once the checkpoint is durably on disk, or a
+        # crash in the commit window leaves latest.txt pointing at a
+        # checkpoint that never existed (found by the 4-rank mid-run-kill
+        # test). Epoch-granularity saves make the wait cheap.
+        self._ckpt.wait_until_finished()
         latest = os.path.join(self.dir, "latest.txt")
-        with open(latest, "w") as f:
+        tmp = latest + ".tmp"
+        with open(tmp, "w") as f:
             f.write(f"epoch_{epoch}")
+        os.replace(tmp, latest)
         if metric is not None and self.save_best and metric > self.best:
             self.best = metric
             self._ckpt.save(os.path.join(self.dir, "best"), state, force=True)
 
     def latest_path(self):
         latest = os.path.join(self.dir, "latest.txt")
-        if not os.path.exists(latest):
+        candidate = None
+        if os.path.exists(latest):
+            with open(latest) as f:
+                candidate = os.path.join(self.dir, f.read().strip())
+        if candidate is not None and os.path.isdir(candidate):
+            return candidate
+        # Dangling or missing pointer (e.g. a crash between checkpoint
+        # commit and the pointer update): fall back to the newest complete
+        # epoch_N directory on disk.
+        epochs = []
+        try:
+            for name in os.listdir(self.dir):
+                if name.startswith("epoch_") and os.path.isdir(
+                        os.path.join(self.dir, name)):
+                    try:
+                        epochs.append((int(name.split("_", 1)[1]), name))
+                    except ValueError:
+                        pass
+        except OSError:
             return None
-        with open(latest) as f:
-            return os.path.join(self.dir, f.read().strip())
+        if not epochs:
+            return None
+        return os.path.join(self.dir, max(epochs)[1])
 
     def restore(self, state: TrainState, path: str | None = None) -> TrainState:
         path = path or self.latest_path()
@@ -174,8 +201,13 @@ class RankZeroCheckpointer(Checkpointer):
         super().save(host_local_copy(state), epoch, metric)
 
     def restore(self, state: TrainState, path: str | None = None) -> TrainState:
-        from ..parallel import host_local_copy
+        from ..parallel import coordination_barrier, host_local_copy
 
+        # Restore is usually the process's FIRST collective (orbax barriers
+        # internally via sync_global_devices): line ranks up through the
+        # coordination service first, or startup skew >30 s (the fixed gloo
+        # rendezvous deadline) kills the fast rank's context init.
+        coordination_barrier("ckpt_restore", timeout_s=1800.0)
         return super().restore(host_local_copy(state), path)
 
 
@@ -215,11 +247,27 @@ def run_training(
                 # longer than another's (cold cache, loaded machine) times
                 # the fast rank out. The compiled executable is then used
                 # directly — same static shapes every step by design.
+                #
+                # The compile itself is rank-staggered: rank 0 compiles
+                # first and populates the persistent compilation cache
+                # (JAX_COMPILATION_CACHE_DIR, shared filesystem — the SPMD
+                # program is identical on every rank), then the others
+                # compile against the warm cache. N concurrent cold
+                # compiles on a loaded host otherwise skew rank arrival by
+                # many minutes (observed: 4 ranks on one core blowing a
+                # 600 s barrier).
                 from ..parallel import coordination_barrier
 
+                if jax.process_index() != 0:
+                    coordination_barrier("train_step_compile_rank0",
+                                         timeout_s=1800.0)
                 compiled_step = train_step.lower(
                     state, global_batch).compile()
-                coordination_barrier("train_step_compiled")
+                if jax.process_index() == 0:
+                    coordination_barrier("train_step_compile_rank0",
+                                         timeout_s=1800.0)
+                coordination_barrier("train_step_compiled",
+                                     timeout_s=1800.0)
                 first_call = False
             if compiled_step is not None:
                 try:

@@ -183,6 +183,9 @@ def sync_global_value(x):
         return x
     from jax.experimental import multihost_utils
 
+    # Typically called at startup (seed broadcast) — often the process's
+    # first collective, so line ranks up first (see all_gather_eval_arrays).
+    coordination_barrier("sync_global_value", timeout_s=1800.0)
     gathered = multihost_utils.process_allgather(x)
     return jax.tree_util.tree_map(lambda g: np.asarray(g)[0], gathered)
 
@@ -202,6 +205,11 @@ def all_gather_eval_arrays(local: dict) -> dict:
         return dict(local)
     from jax.experimental import multihost_utils
 
+    # Line ranks up before the gather: each rank reaches here only after
+    # compiling + running its predict loop, and that skew (first-ever
+    # predict compile, loaded host) can exceed the ~30 s gloo rendezvous
+    # deadline of the collective's first execution.
+    coordination_barrier("eval_gather", timeout_s=1800.0)
     gathered = multihost_utils.process_allgather(
         {k: np.asarray(v) for k, v in local.items()}, tiled=False)
     return {k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])

@@ -52,6 +52,37 @@ def _run(args, timeout=900):
     return p.stdout
 
 
+def test_checkpointer_latest_commit_order_and_fallback(tmp_path):
+    """latest.txt is advanced only after the (async) orbax save is durably
+    committed, and a dangling pointer (crash between commit and pointer
+    update, or a hand-edited file) falls back to the newest complete
+    epoch_N on disk instead of failing the resume."""
+    import jax.numpy as jnp
+
+    from sph_retina_tpu.engine.runner import Checkpointer
+    from sph_retina_tpu.engine.train import TrainState
+
+    state = TrainState(jnp.asarray(3, jnp.int32), {"w": jnp.ones((2, 2))},
+                       {}, {"m": jnp.zeros((2, 2))})
+    ck = Checkpointer(str(tmp_path / "ckpts"), save_best=None)
+    ck.save(state, 1)
+    # the pointer target must already be a committed directory
+    assert os.path.isdir(ck.latest_path())
+    state2 = state._replace(step=jnp.asarray(7, jnp.int32))
+    ck.save(state2, 2)
+    assert ck.latest_path().endswith("epoch_2")
+
+    # dangling pointer -> newest complete epoch on disk
+    with open(tmp_path / "ckpts" / "latest.txt", "w") as f:
+        f.write("epoch_9")
+    assert ck.latest_path().endswith("epoch_2")
+    restored = ck.restore(state)
+    assert int(restored.step) == 7
+    # no checkpoints at all -> None
+    ck2 = Checkpointer(str(tmp_path / "empty"), save_best=None)
+    assert ck2.latest_path() is None
+
+
 def test_train_resume_test_workflow(tmp_path):
     ann, img_dir = write_synthetic_coco(str(tmp_path / "data"), n_images=16,
                                         num_classes=3, img_size=(64, 128))

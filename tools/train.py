@@ -184,7 +184,7 @@ def main():
             variables = host_local_copy(variables)
         return {k: v for k, v in evaluate_dataset(
             model, det_cfg, variables, val_loader, predict=predict,
-            distributed=world > 1).items() if isinstance(v, float)}
+            distributed=world > 1).items() if isinstance(v, (int, float))}
 
     try:
         with mesh:
