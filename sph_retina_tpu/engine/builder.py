@@ -158,8 +158,18 @@ def build_tx(cfg: dict, steps_per_epoch: int, num_processes: int = 1):
         warmup_ratio=lr_cfg.get("warmup_ratio", 0.001),
     )
     clip = cfg.get("optimizer_config", {}).get("grad_clip")
-    frozen = tuple(cfg.get("frozen_prefixes",
-                           ("backbone/conv1", "backbone/bn1", "backbone/layer1")))
+    if "frozen_prefixes" in cfg:
+        frozen = tuple(cfg["frozen_prefixes"])
+    else:
+        # Derive from model.backbone.frozen_stages (mmdet ResNet._freeze_stages
+        # semantics, reference mmdet/models/backbones/resnet.py: >=0 freezes
+        # the stem, 1..N freeze layer1..layerN; -1 freezes nothing). The
+        # reference configs use frozen_stages=1.
+        fs = cfg.get("model", {}).get("backbone", {}).get("frozen_stages", 1)
+        frozen = ()
+        if fs >= 0:
+            frozen += ("backbone/conv1", "backbone/bn1")
+        frozen += tuple(f"backbone/layer{i}" for i in range(1, fs + 1))
     # EMAHook parity: reference configs enable weight averaging via
     # custom_hooks=[dict(type='EMAHook', momentum=...)]; a bare
     # ``ema_momentum`` key is also accepted.

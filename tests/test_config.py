@@ -77,6 +77,46 @@ def test_all_shipped_configs_build():
         build_tx(cfg, 10)
 
 
+def test_frozen_stages_drives_optimizer_mask():
+    """model.backbone.frozen_stages selects the frozen parameter subtrees
+    (mmdet ResNet._freeze_stages semantics): 1 freezes stem+layer1 (the
+    reference default), -1 freezes nothing, 2 also freezes layer2. An
+    explicit cfg['frozen_prefixes'] still wins."""
+    import jax
+    import jax.numpy as jnp
+
+    from sph_retina_tpu.engine.builder import build_tx
+
+    params = {"backbone": {"conv1": {"w": jnp.ones(3)},
+                           "bn1": {"scale": jnp.ones(3)},
+                           "layer1": {"w": jnp.ones(3)},
+                           "layer2": {"w": jnp.ones(3)}},
+              "bbox_head": {"w": jnp.ones(3)}}
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def updated(cfg):
+        tx = build_tx(cfg, 10)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        return {path: bool(jnp.any(leaf != 0)) for path, leaf in
+                [("/".join(str(k.key) for k in p), v) for p, v in
+                 jax.tree_util.tree_flatten_with_path(upd)[0]]}
+
+    base = dict(optimizer=dict(lr=0.01), lr_config=dict(warmup_iters=0))
+    u = updated({**base, "model": dict(backbone=dict(frozen_stages=1))})
+    assert not u["backbone/conv1/w"] and not u["backbone/bn1/scale"]
+    assert not u["backbone/layer1/w"]
+    assert u["backbone/layer2/w"] and u["bbox_head/w"]
+    # default (no backbone cfg) matches the reference's frozen_stages=1
+    assert updated({**base, "model": {}}) == u
+    u2 = updated({**base, "model": dict(backbone=dict(frozen_stages=-1))})
+    assert all(u2.values())
+    u3 = updated({**base, "model": dict(backbone=dict(frozen_stages=2))})
+    assert not u3["backbone/layer2/w"] and u3["bbox_head/w"]
+    u4 = updated({**base, "model": dict(backbone=dict(frozen_stages=1)),
+                  "frozen_prefixes": ("bbox_head",)})
+    assert not u4["bbox_head/w"] and u4["backbone/layer1/w"]
+
+
 def test_kent_rotated_preset_trains():
     """The kent_rotated preset (5-dof head, sph2pob_efficient assignment,
     rotated NMS) runs one train step at a tiny size."""
