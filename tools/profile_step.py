@@ -61,6 +61,118 @@ def report_memory(cfg, tx, batch, rng):
           f"at batch {batch['images'].shape[0]}")
 
 
+def report_breakdown(cfg, tx, batch, rng):
+    """Device-steady per-stage timing of the RetinaNet train step.
+
+    Stages are timed as standalone jitted programs on real intermediate
+    tensors (backbone -> neck -> head -> loss), each via the marginal-rate
+    method (``(t_long - t_short) / (n_long - n_short)`` around a device-side
+    ``fori_loop``) — the only honest timing over the axon tunnel, where
+    ``block_until_ready`` does not block. The full fwd+bwd+update step is
+    timed the same way; ``backward+update`` is reported as the residual
+    (full - sum of forward stages - loss). Standalone-stage times slightly
+    overstate the fused in-situ cost (XLA fuses across stage boundaries
+    inside the real step), so the table is an attribution, not a sum of
+    independent parts.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from sph_retina_tpu.engine.train import (
+        TrainState, create_train_state, make_train_step,
+    )
+    from sph_retina_tpu.engine.zoo import get_family
+    from sph_retina_tpu.models.fpn import FPN
+    from sph_retina_tpu.models.heads.retina_head import SphRetinaHead
+    from sph_retina_tpu.models.resnet import ResNet
+    from sph_retina_tpu.models.single_stage import retina_loss
+
+    family = get_family(cfg)
+    model, det_cfg = family.build(cfg)
+    if type(model).__name__ != "SphRetinaNet":
+        raise SystemExit("--breakdown supports SphRetinaNet configs")
+    state = create_train_state(model, det_cfg, rng, tx, batch["images"][:1])
+    params, bstats = state.params, state.batch_stats
+
+    def timed_ms(fn, tree, n_short=3, n_long=18):
+        """Marginal ms/call of ``fn(tree)`` inside a device-side loop."""
+
+        def perturb(t, i):
+            return jax.tree_util.tree_map(
+                lambda v: v + i.astype(v.dtype) * jnp.asarray(1e-6, v.dtype)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v, t)
+
+        @jax.jit
+        def loop(t, n):
+            def body(i, acc):
+                out = fn(perturb(t, i))
+                return acc + jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(x).astype(jnp.float32),
+                    out, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        float(loop(tree, 1))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter(); float(loop(tree, n_short))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(loop(tree, n_long))
+            tl = time.perf_counter() - t0
+            best = min(best, (tl - ts) / (n_long - n_short))
+        return best * 1e3
+
+    images = batch["images"]
+    mdl_kw = cfg.get("model", {}).get("backbone", {})
+    backbone = ResNet(depth=mdl_kw.get("depth", 50), out_indices=(0, 1, 2, 3),
+                      dtype=model.dtype, groups=model.groups,
+                      base_width=model.base_width)
+    neck = FPN(out_channels=model.feat_channels, start_level=1, num_outs=5,
+               add_extra_convs="on_input", dtype=model.dtype)
+    head = SphRetinaHead(num_classes=model.num_classes,
+                         box_version=model.box_version,
+                         feat_channels=model.feat_channels,
+                         num_base_priors=model.num_base_priors,
+                         dtype=model.dtype)
+
+    bb_vars = {"params": params["backbone"],
+               "batch_stats": bstats.get("backbone", {})}
+    feats = jax.jit(lambda x: backbone.apply(bb_vars, x))(images)
+    neck_feats = jax.jit(lambda f: neck.apply(
+        {"params": params["neck"]}, f))(feats)
+    head_out = jax.jit(lambda f: head.apply(
+        {"params": params["bbox_head"]}, f))(neck_feats)
+    anchors = det_cfg.flat_anchors()
+
+    rows = [
+        ("backbone fwd (R%d)" % mdl_kw.get("depth", 50),
+         timed_ms(lambda x: backbone.apply(bb_vars, x), images)),
+        ("neck fwd (FPN)",
+         timed_ms(lambda f: neck.apply({"params": params["neck"]}, f),
+                  feats)),
+        ("head fwd (cls+reg towers)",
+         timed_ms(lambda f: head.apply({"params": params["bbox_head"]}, f),
+                  neck_feats)),
+        ("loss (assign IoU + coder + focal + sph2pob)",
+         timed_ms(lambda o: retina_loss(
+             det_cfg, o[0], o[1], anchors, batch["gt_boxes"],
+             batch["gt_labels"], batch["gt_mask"])["loss"], head_out)),
+    ]
+    step = make_train_step(model, det_cfg, tx, retina_loss)
+    full = timed_ms(lambda b: step(state, b)[1]["loss"], batch)
+    fwd_loss = sum(ms for _, ms in rows)
+    rows.append(("backward + SGD update (residual)",
+                 max(full - fwd_loss, 0.0)))
+    b = images.shape[0]
+    print(f"train-step breakdown  batch={b}  {images.shape[1]}x"
+          f"{images.shape[2]}  platform={jax.devices()[0].platform}")
+    for name, ms in rows:
+        print(f"  {name:<44s} {ms:8.2f} ms  {100 * ms / full:5.1f}%")
+    print(f"  {'FULL train step (fwd+bwd+update)':<44s} {full:8.2f} ms  "
+          f"-> {1e3 * b / full:.1f} img/s")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("config")
@@ -69,6 +181,10 @@ def main():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"])
     p.add_argument("--cfg-options", nargs="*", default=None)
+    p.add_argument("--breakdown", action="store_true",
+                   help="print a per-stage device-steady timing table of the "
+                        "train step (backbone/neck/head/loss/backward) "
+                        "instead of tracing")
     p.add_argument("--memory", action="store_true",
                    help="instead of tracing, print the compiled train step's "
                         "XLA buffer assignment (argument/output/temp bytes) "
@@ -111,6 +227,8 @@ def main():
     }
     if args.memory:
         return report_memory(cfg, tx, batch, rng)
+    if args.breakdown:
+        return report_breakdown(cfg, tx, batch, rng)
 
     variables = family.init(model, rng, images[:1])
     state = TrainState(jnp.zeros((), jnp.int32), variables["params"],
