@@ -74,7 +74,10 @@ class DataLoader:
         stop = object()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            # num_workers=0 means "no parallelism", not "no pool":
+            # ThreadPoolExecutor(0) raises inside this daemon thread and the
+            # consumer would block forever on a queue that never closes.
+            with ThreadPoolExecutor(max(1, self.num_workers)) as pool:
                 for bi, batch_idx in enumerate(batches):
                     aug = self.seed if self.aug_seed is None else self.aug_seed
                     rngs = [
@@ -91,14 +94,25 @@ class DataLoader:
                         for k in samples[0]
                     }
                     q.put(out)
-            q.put(stop)
 
-        t = threading.Thread(target=produce, daemon=True)
+        def run():
+            # A producer crash (decode error, bad path) must surface in the
+            # consumer, not leave it blocked on a queue that never closes.
+            try:
+                produce()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
+            else:
+                q.put(stop)
+
+        t = threading.Thread(target=run, daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -1,0 +1,331 @@
+#!/usr/bin/env python
+"""Directional AP-parity study on the sphere-bench synthetic benchmark.
+
+The reference paper's headline ablations (/root/reference/README.md:36-45,
+57-58) establish two orderings on 360-Indoor:
+
+1. **loss axis** — Sph2Pob-CIoU beats the L1 baseline
+   (AP 11.5/25.7/8.2 vs 10.4/24.5/6.9 on RetinaNet);
+2. **assignment axis** — training with sph2pob-based assignment beats the
+   approximate sph/fov IoU assignment (the paper's core claim: unbiased
+   geometry in the training loop, README.md:36-45 consistency table).
+
+Real 360-Indoor/PANDORA data cannot be fetched here (zero egress), so this
+study reproduces the *directions* on sphere-bench (tools/synth_dataset.py)
+— a controlled ERP dataset whose object footprints are rasterized with the
+exact great-circle inside test the unbiased evaluation IoU uses, with
+stratified pole/seam content where spherical-aware geometry matters most.
+
+Each variant trains the tracked config
+configs/sph_retinanet_r18_fpn_24e_spherebench.py with dotted overrides
+(recorded verbatim in the report), same seed and budget, then evaluates
+COCO AP on the val split with **unbiased-oracle matching**, overall and
+stratified by image tags (polar / seam / body).
+
+CLI:
+    python tools/ap_study.py --out work_dirs/ap_study            # full study
+    python tools/ap_study.py --quick --out /tmp/ap_quick         # CI smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+# (name, dotted cfg overrides) — applied to the tracked base config.
+# `ciou` IS the base config; listed with empty overrides for the record.
+VARIANTS = [
+    ("l1", [
+        "model.reg_decoded_bbox=False",
+        "model.loss_bbox={'type': 'SphL1Loss', 'loss_weight': 1.0}",
+    ]),
+    ("ciou", []),
+    ("assign_sph", [
+        "train_cfg.assigner.backend=sph",
+    ]),
+]
+
+STRATA = ("polar", "seam", "body")
+
+
+def _arrays_to_lists(arrays, idx):
+    """Per-image (dets, annotations) lists from evaluator raw arrays."""
+    det_results, annotations = [], []
+    for i in idx:
+        v = arrays["valid"][i]
+        det_results.append((arrays["boxes"][i][v], arrays["scores"][i][v],
+                            arrays["labels"][i][v]))
+        m = arrays["gt_mask"][i]
+        im = arrays["ig_mask"][i]
+        annotations.append({
+            "boxes": arrays["gt_boxes"][i][m],
+            "labels": arrays["gt_labels"][i][m],
+            "ignore_boxes": arrays["ig_boxes"][i][im],
+            "ignore_labels": arrays["ig_labels"][i][im],
+        })
+    return det_results, annotations
+
+
+def stratified_metrics(arrays, strata_by_img, num_classes,
+                       backend="unbiased"):
+    """AP per image stratum. An image counts toward every tag it carries;
+    untagged images form the 'body' stratum."""
+    from sph_retina_tpu.engine.eval import eval_spherical_map
+
+    img_ids = arrays["img_id"]
+    out = {}
+    for stratum in STRATA:
+        if stratum == "body":
+            keep = [i for i, g in enumerate(img_ids)
+                    if not strata_by_img.get(int(g))]
+        else:
+            keep = [i for i, g in enumerate(img_ids)
+                    if stratum in strata_by_img.get(int(g), ())]
+        if not keep:
+            continue
+        dets, anns = _arrays_to_lists(arrays, keep)
+        m = eval_spherical_map(dets, anns, num_classes, backend=backend)
+        out[stratum] = {"AP50": m["AP50"], "mAP": m["mAP"],
+                        "n_images": len(keep)}
+    return out
+
+
+def train_variant(cfg, *, seed, work_dir, max_epochs=None):
+    """Single-process train-to-completion; returns (state, family bundle)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sph_retina_tpu.engine.builder import build_datasets, build_tx
+    from sph_retina_tpu.engine.runner import MetricLogger, run_training
+    from sph_retina_tpu.engine.train import TrainState
+    from sph_retina_tpu.engine.zoo import get_family, make_generic_train_step
+    from sph_retina_tpu.parallel import (
+        data_mesh, make_global_batch, replicate_to_mesh,
+    )
+
+    family = get_family(cfg)
+    model, det_cfg = family.build(cfg)
+    ds, loader = build_datasets(cfg, "train")
+    if ds.num_classes != cfg["model"]["num_classes"]:
+        raise ValueError(f"dataset has {ds.num_classes} classes, config "
+                         f"says {cfg['model']['num_classes']}")
+    max_epochs = max_epochs or cfg.get("runner", {}).get("max_epochs", 24)
+    tx = build_tx(cfg, steps_per_epoch=max(len(loader), 1))
+
+    rng = jax.random.PRNGKey(seed)
+    h, w = cfg.get("img_size", (256, 512))
+    variables0 = family.init(model, rng, jnp.zeros((1, h, w, 3), jnp.float32))
+    state = TrainState(jnp.zeros((), jnp.int32), variables0["params"],
+                       variables0.get("batch_stats", {}),
+                       tx.init(variables0["params"]))
+
+    mesh = data_mesh()
+    state = replicate_to_mesh(state, mesh)
+    step = jax.jit(
+        make_generic_train_step(family, model, det_cfg, tx, seed=seed),
+        donate_argnums=0)
+    logger = MetricLogger(work_dir, enabled=True,
+                          interval=cfg.get("log_config", {}).get("interval", 20))
+    t0 = time.time()
+    try:
+        with mesh:
+            state = run_training(
+                train_step=step, state=state, loader=loader,
+                max_epochs=max_epochs, logger=logger,
+                shard=lambda b: make_global_batch(
+                    {k: v for k, v in b.items() if k != "img_id"}, mesh))
+    finally:
+        logger.close()
+    return state, model, det_cfg, family, time.time() - t0
+
+
+def eval_variant(cfg, state, model, det_cfg, family, strata_by_img,
+                 backend="unbiased"):
+    from sph_retina_tpu.engine.builder import build_datasets
+    from sph_retina_tpu.engine.evaluator import evaluate_dataset
+
+    _, val_loader = build_datasets(cfg, "val")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    metrics, arrays = evaluate_dataset(
+        model, det_cfg, variables, val_loader, backend=backend,
+        return_raw=True)
+    strat = stratified_metrics(arrays, strata_by_img,
+                               cfg["model"]["num_classes"], backend=backend)
+    return {"AP50": metrics["AP50"], "mAP": metrics["mAP"],
+            "AP75": metrics["AP75"], "n_images": metrics["n_images"],
+            "strata": strat}
+
+
+def load_strata(ann_file):
+    with open(ann_file) as f:
+        coco = json.load(f)
+    return {im["id"]: tuple(im.get("strata", ())) for im in coco["images"]}
+
+
+def ensure_dataset(root, *, n_train, n_val, num_classes, img_size, seed,
+                   regen=False):
+    from synth_dataset import write_sphere_bench
+
+    train_ann = os.path.join(root, "annotations", "instances_train.json")
+    val_ann = os.path.join(root, "annotations", "instances_val.json")
+    if regen or not (os.path.exists(train_ann) and os.path.exists(val_ann)):
+        print(f"generating sphere-bench at {root} "
+              f"({n_train}+{n_val} images, {num_classes} classes)")
+        write_sphere_bench(root, split="train", n_images=n_train,
+                           num_classes=num_classes, img_size=img_size,
+                           seed=seed)
+        write_sphere_bench(root, split="val", n_images=n_val,
+                           num_classes=num_classes, img_size=img_size,
+                           seed=seed + 10_000)
+    return train_ann, val_ann
+
+
+def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
+              device=None, variants=None):
+    from sph_retina_tpu.utils.config import apply_overrides, load_config
+    from sph_retina_tpu.utils.device import pin_platform
+
+    pin_platform(device)
+    os.makedirs(out_dir, exist_ok=True)
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "sph_retinanet_r18_fpn_24e_spherebench.py")
+
+    if quick:
+        gen = dict(n_train=24, n_val=12, num_classes=4, img_size=(128, 256))
+        max_epochs = max_epochs or 2
+    else:
+        gen = dict(n_train=500, n_val=100, num_classes=12,
+                   img_size=(256, 512))
+    _, val_ann = ensure_dataset(data_root, seed=0, **gen)
+    strata_by_img = load_strata(val_ann)
+
+    data_overrides = [
+        f"data.train.ann_file={data_root}/annotations/instances_train.json",
+        f"data.train.img_prefix={data_root}/images/",
+        f"data.val.ann_file={data_root}/annotations/instances_val.json",
+        f"data.val.img_prefix={data_root}/images/",
+        f"model.num_classes={gen['num_classes']}",
+    ]
+    if quick:
+        data_overrides += ["img_size=(128,256)", "data.samples_per_gpu=4",
+                           "lr_config.warmup_iters=10"]
+
+    results = {}
+    for name, overrides in (variants or VARIANTS):
+        results[name] = {"overrides": overrides, "seeds": {}}
+        for seed in seeds:
+            cfg = apply_overrides(load_config(cfg_path),
+                                  data_overrides + list(overrides))
+            cfg["seed"] = seed
+            wd = os.path.join(out_dir, f"{name}_s{seed}")
+            os.makedirs(wd, exist_ok=True)
+            print(f"=== {name} seed={seed} -> {wd}")
+            state, model, det_cfg, family, train_s = train_variant(
+                cfg, seed=seed, work_dir=wd, max_epochs=max_epochs)
+            m = eval_variant(cfg, state, model, det_cfg, family,
+                             strata_by_img)
+            m["train_seconds"] = round(train_s, 1)
+            results[name]["seeds"][str(seed)] = m
+            print(f"    AP50={m['AP50']:.4f} mAP={m['mAP']:.4f} "
+                  f"({train_s:.0f}s train)")
+        vals = [s["AP50"] for s in results[name]["seeds"].values()]
+        results[name]["AP50_mean"] = float(np.mean(vals))
+        results[name]["mAP_mean"] = float(np.mean(
+            [s["mAP"] for s in results[name]["seeds"].values()]))
+
+    report = {
+        "base_config": "configs/sph_retinanet_r18_fpn_24e_spherebench.py",
+        "dataset": {"root": data_root, **{k: list(v) if isinstance(v, tuple)
+                                          else v for k, v in gen.items()}},
+        "seeds": list(seeds),
+        "max_epochs": max_epochs
+        or 24,
+        "eval_backend": "unbiased",
+        "variants": results,
+    }
+    if all(k in results for k in ("l1", "ciou", "assign_sph")):
+        report["orderings"] = {
+            "ciou_gt_l1": results["ciou"]["AP50_mean"]
+            > results["l1"]["AP50_mean"],
+            "sph2pob_assign_gt_sph_assign": results["ciou"]["AP50_mean"]
+            > results["assign_sph"]["AP50_mean"],
+        }
+    path = os.path.join(out_dir, "report.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    write_markdown(report, os.path.join(out_dir, "AP_STUDY.md"))
+    print(f"report: {path}")
+    return report
+
+
+def write_markdown(report, path):
+    r = report["variants"]
+    lines = [
+        "# AP-parity study: sphere-bench ablations",
+        "",
+        "Offline directional reproduction of the reference paper's 360-Indoor"
+        " ablations (/root/reference/README.md:36-45,57-58) on the controlled"
+        " synthetic ERP benchmark (`tools/synth_dataset.py`); real data is"
+        " environment-blocked (zero egress).",
+        "",
+        f"Base config: `{report['base_config']}` — seeds {report['seeds']},"
+        f" {report['max_epochs']} epochs each, unbiased-oracle AP matching.",
+        f"Dataset: {report['dataset']}",
+        "",
+        "| variant | overrides | AP50 | mAP | polar AP50 | seam AP50 | body AP50 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, v in r.items():
+        s0 = next(iter(v["seeds"].values()))
+        st = s0.get("strata", {})
+
+        def f(x):
+            return "-" if x is None else f"{x:.3f}"
+
+        lines.append(
+            f"| {name} | `{'; '.join(v['overrides']) or '(base)'}` "
+            f"| {v['AP50_mean']:.3f} | {v['mAP_mean']:.3f} "
+            f"| {f(st.get('polar', {}).get('AP50'))} "
+            f"| {f(st.get('seam', {}).get('AP50'))} "
+            f"| {f(st.get('body', {}).get('AP50'))} |")
+    if "orderings" in report:
+        o = report["orderings"]
+        lines += [
+            "",
+            "## Paper orderings",
+            "",
+            f"- Sph2Pob-CIoU > L1 (reference README.md:57-58): "
+            f"**{'reproduced' if o['ciou_gt_l1'] else 'NOT reproduced'}**",
+            f"- sph2pob assignment > sph assignment (README.md:36-45): "
+            f"**{'reproduced' if o['sph2pob_assign_gt_sph_assign'] else 'NOT reproduced'}**",
+        ]
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--data-root", default="work_dirs/sphere_bench")
+    p.add_argument("--out", default="work_dirs/ap_study")
+    p.add_argument("--seeds", type=int, nargs="*", default=[0])
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--quick", action="store_true",
+                   help="tiny dataset + 2 epochs (CI smoke; numbers are "
+                        "not meaningful, only the plumbing)")
+    p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"])
+    args = p.parse_args()
+    run_study(data_root=args.data_root, out_dir=args.out, seeds=args.seeds,
+              max_epochs=args.max_epochs, quick=args.quick,
+              device=args.device)
+
+
+if __name__ == "__main__":
+    main()
