@@ -215,7 +215,8 @@ def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
         f"model.num_classes={gen['num_classes']}",
     ]
     if quick:
-        data_overrides += ["img_size=(128,256)", "data.samples_per_gpu=4",
+        # batch must shard over the data mesh (8 virtual devices in CI)
+        data_overrides += ["img_size=(128,256)", "data.samples_per_gpu=8",
                            "lr_config.warmup_iters=10"]
 
     results = {}
