@@ -51,6 +51,9 @@ VARIANTS = [
     ("assign_sph", [
         "train_cfg.assigner.backend=sph",
     ]),
+    ("assign_fov", [
+        "train_cfg.assigner.backend=fov",
+    ]),
 ]
 
 STRATA = ("polar", "seam", "body")
@@ -176,7 +179,11 @@ def ensure_dataset(root, *, n_train, n_val, num_classes, img_size, seed,
 
     train_ann = os.path.join(root, "annotations", "instances_train.json")
     val_ann = os.path.join(root, "annotations", "instances_val.json")
-    if regen or not (os.path.exists(train_ann) and os.path.exists(val_ann)):
+    # Images are regenerable (fixed seed) and intentionally untracked; a fresh
+    # clone has the annotation JSONs but no PNGs — regenerate in that case too.
+    first_img = os.path.join(root, "images", "train_00001.png")
+    if (regen or not (os.path.exists(train_ann) and os.path.exists(val_ann))
+            or not os.path.exists(first_img)):
         print(f"generating sphere-bench at {root} "
               f"({n_train}+{n_val} images, {num_classes} classes)")
         write_sphere_bench(root, split="train", n_images=n_train,
@@ -259,6 +266,14 @@ def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
             "sph2pob_assign_gt_sph_assign": results["ciou"]["AP50_mean"]
             > results["assign_sph"]["AP50_mean"],
         }
+        if "assign_fov" in results:
+            # reference README.md:36-45 full ordering: Sph2Pob > Fov > Sph
+            report["orderings"]["fov_assign_gt_sph_assign"] = (
+                results["assign_fov"]["AP50_mean"]
+                > results["assign_sph"]["AP50_mean"])
+            report["orderings"]["sph2pob_assign_gt_fov_assign"] = (
+                results["ciou"]["AP50_mean"]
+                > results["assign_fov"]["AP50_mean"])
     path = os.path.join(out_dir, "report.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
@@ -308,6 +323,13 @@ def write_markdown(report, path):
             f"- sph2pob assignment > sph assignment (README.md:36-45): "
             f"**{'reproduced' if o['sph2pob_assign_gt_sph_assign'] else 'NOT reproduced'}**",
         ]
+        if "sph2pob_assign_gt_fov_assign" in o:
+            lines += [
+                f"- sph2pob assignment > fov assignment (README.md:36-45): "
+                f"**{'reproduced' if o['sph2pob_assign_gt_fov_assign'] else 'NOT reproduced'}**",
+                f"- fov assignment > sph assignment (README.md:36-45): "
+                f"**{'reproduced' if o['fov_assign_gt_sph_assign'] else 'NOT reproduced'}**",
+            ]
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
