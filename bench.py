@@ -322,19 +322,28 @@ def bench_e2e_pipeline(step, state, batch=8, h=512, w=1024, max_gt=16,
     loader = DataLoader(_DiskDataset(), pipe, batch_size=batch,
                         num_workers=8, prefetch=4, seed=0)
 
-    def run_epoch(epoch, st):
+    from sph_retina_tpu.data.loader import prefetch_to_device
+
+    def transfer(b):
+        return {
+            "images": jnp.asarray(b["images"]),
+            "gt_boxes": jnp.asarray(b["gt_boxes"]),
+            "gt_labels": jnp.asarray(b["gt_labels"]),
+            "gt_mask": jnp.asarray(b["gt_mask"]),
+        }
+
+    def run_epoch(epoch, st, device=True):
         n_done = 0
-        for b in loader.epoch(epoch):
-            st, met = step(st, {
-                "images": jnp.asarray(b["images"]),
-                "gt_boxes": jnp.asarray(b["gt_boxes"]),
-                "gt_labels": jnp.asarray(b["gt_labels"]),
-                "gt_mask": jnp.asarray(b["gt_mask"]),
-            })
-            n_done += batch
-        # one scalar fetch drains the device queue (axon: block_until_ready
-        # does not block; fetching a computed value does)
-        float(jnp.asarray(met["loss"], jnp.float32))
+        if device:
+            for db in prefetch_to_device(loader.epoch(epoch), transfer):
+                st, met = step(st, db)
+                n_done += batch
+            # one scalar fetch drains the device queue (axon:
+            # block_until_ready does not block; fetching a value does)
+            float(jnp.asarray(met["loss"], jnp.float32))
+        else:
+            for _ in loader.epoch(epoch):
+                n_done += batch
         return st, n_done
 
     state, _ = run_epoch(0, state)           # warm: decode cache, compile
@@ -342,7 +351,13 @@ def bench_e2e_pipeline(step, state, batch=8, h=512, w=1024, max_gt=16,
     state, n1 = run_epoch(1, state)
     state, n2 = run_epoch(2, state)
     dt = time.perf_counter() - t0
-    return (n1 + n2) / dt
+    # Host-side ceiling: disk -> decode -> resize -> collate with no device
+    # work. On this 1-vCPU dev host the e2e number is tunnel/host-bound;
+    # this separates "can the host feed the device" from tunnel bandwidth.
+    t0 = time.perf_counter()
+    _, nh = run_epoch(3, state, device=False)
+    host_rate = nh / (time.perf_counter() - t0)
+    return (n1 + n2) / dt, host_rate
 
 
 def bench_retinanet(batch=8, h=512, w=1024, max_gt=16, n_timed=10):
@@ -534,8 +549,10 @@ def run_benchmarks():
     _checkpoint_partial(result)
     if step_state is not None:
         try:
-            extra["train_e2e_imgs_per_sec"] = round(
-                bench_e2e_pipeline(*step_state), 1)
+            e2e_rate, host_rate = bench_e2e_pipeline(*step_state)
+            extra["train_e2e_imgs_per_sec"] = round(e2e_rate, 1)
+            extra["host_pipeline_imgs_per_sec"] = round(host_rate, 1)
+            extra["host_pipeline_ncpu"] = os.cpu_count()
         except Exception as e:
             extra["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     _checkpoint_partial(result)

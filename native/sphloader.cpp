@@ -45,7 +45,7 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-bool decode_jpeg(FILE* f, Image* img) {
+bool decode_jpeg(FILE* f, Image* img, int target_h, int target_w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -61,6 +61,21 @@ bool decode_jpeg(FILE* f, Image* img) {
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  // DCT-domain downscale: when the target chart is smaller than the source,
+  // decode at the smallest n/8 scale whose output still covers the target
+  // (bilinear then refines the remainder). Decoding 2048x4096 -> 512x1024
+  // this way skips ~94% of the IDCT + color-convert work.
+  if (target_h > 0 && target_w > 0) {
+    int num = 8;
+    while (num > 1) {
+      long sw = ((long)cinfo.image_width * (num - 1) + 7) / 8;
+      long sh = ((long)cinfo.image_height * (num - 1) + 7) / 8;
+      if (sw < target_w || sh < target_h) break;
+      --num;
+    }
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   img->w = cinfo.output_width;
   img->h = cinfo.output_height;
@@ -109,7 +124,8 @@ bool decode_png(FILE* f, Image* img) {
   return true;
 }
 
-bool load_rgb(const char* path, Image* img) {
+bool load_rgb(const char* path, Image* img, int target_h = 0,
+              int target_w = 0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   unsigned char magic[2] = {0, 0};
@@ -120,7 +136,7 @@ bool load_rgb(const char* path, Image* img) {
   rewind(f);
   bool ok = false;
   if (magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, img);
+    ok = decode_jpeg(f, img, target_h, target_w);
   } else if (magic[0] == 0x89 && magic[1] == 'P') {
     ok = decode_png(f, img);
   }
@@ -128,12 +144,44 @@ bool load_rgb(const char* path, Image* img) {
   return ok && img->w > 0 && img->h > 0;
 }
 
+// Per-column bilinear sampling table: source indices and weight, computed
+// once per image instead of once per output pixel per row.
+struct ColTab {
+  std::vector<int> x0, x1;
+  std::vector<float> wx;
+  ColTab(int ow, int iw) : x0(ow), x1(ow), wx(ow) {
+    const float sx = float(iw) / ow;
+    for (int x = 0; x < ow; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int i0 = (int)floorf(fx);
+      wx[x] = fx - i0;
+      x0[x] = i0 < 0 ? 0 : (i0 >= iw ? iw - 1 : i0);
+      int i1 = i0 + 1;
+      x1[x] = i1 < 0 ? 0 : (i1 >= iw ? iw - 1 : i1);
+    }
+  }
+};
+
 // Fused bilinear resize + normalize + optional horizontal flip.
 void resize_normalize(const Image& img, float* out, int oh, int ow,
                       const float* mean, const float* stdv, int flip) {
-  const float sx = float(img.w) / ow;
   const float sy = float(img.h) / oh;
   const float inv_std[3] = {1.f / stdv[0], 1.f / stdv[1], 1.f / stdv[2]};
+  if (img.h == oh && img.w == ow) {  // identity geometry: normalize only
+    for (int y = 0; y < oh; ++y) {
+      const unsigned char* irow = img.data.data() + size_t(y) * ow * 3;
+      float* orow = out + size_t(y) * ow * 3;
+      for (int x = 0; x < ow; ++x) {
+        const unsigned char* p = irow + (flip ? (ow - 1 - x) : x) * 3;
+        float* o = orow + x * 3;
+        o[0] = (p[0] - mean[0]) * inv_std[0];
+        o[1] = (p[1] - mean[1]) * inv_std[1];
+        o[2] = (p[2] - mean[2]) * inv_std[2];
+      }
+    }
+    return;
+  }
+  ColTab ct(ow, img.w);
   for (int y = 0; y < oh; ++y) {
     float fy = (y + 0.5f) * sy - 0.5f;
     int y0 = (int)floorf(fy);
@@ -145,14 +193,11 @@ void resize_normalize(const Image& img, float* out, int oh, int ow,
     float* orow = out + size_t(y) * ow * 3;
     for (int x = 0; x < ow; ++x) {
       int xd = flip ? (ow - 1 - x) : x;
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = (int)floorf(fx);
-      float wx = fx - x0;
-      int x0c = x0 < 0 ? 0 : (x0 >= img.w ? img.w - 1 : x0);
-      int x1c = x0 + 1 < 0 ? 0 : (x0 + 1 >= img.w ? img.w - 1 : x0 + 1);
+      const int x0c = ct.x0[x] * 3, x1c = ct.x1[x] * 3;
+      const float wx = ct.wx[x];
       for (int c = 0; c < 3; ++c) {
-        float top = r0[x0c * 3 + c] * (1 - wx) + r0[x1c * 3 + c] * wx;
-        float bot = r1[x0c * 3 + c] * (1 - wx) + r1[x1c * 3 + c] * wx;
+        float top = r0[x0c + c] * (1 - wx) + r0[x1c + c] * wx;
+        float bot = r1[x0c + c] * (1 - wx) + r1[x1c + c] * wx;
         float v = top * (1 - wy) + bot * wy;
         orow[xd * 3 + c] = (v - mean[c]) * inv_std[c];
       }
@@ -165,8 +210,24 @@ void resize_normalize(const Image& img, float* out, int oh, int ow,
 // values match the PIL-decode path bit for bit).
 void resize_u8(const Image& img, unsigned char* out, int oh, int ow,
                int flip) {
-  const float sx = float(img.w) / ow;
+  if (img.h == oh && img.w == ow) {  // identity geometry: copy (or flip-copy)
+    if (!flip) {
+      memcpy(out, img.data.data(), size_t(oh) * ow * 3);
+      return;
+    }
+    for (int y = 0; y < oh; ++y) {
+      const unsigned char* irow = img.data.data() + size_t(y) * ow * 3;
+      unsigned char* orow = out + size_t(y) * ow * 3;
+      for (int x = 0; x < ow; ++x) {
+        const unsigned char* p = irow + (ow - 1 - x) * 3;
+        unsigned char* o = orow + x * 3;
+        o[0] = p[0]; o[1] = p[1]; o[2] = p[2];
+      }
+    }
+    return;
+  }
   const float sy = float(img.h) / oh;
+  ColTab ct(ow, img.w);
   for (int y = 0; y < oh; ++y) {
     float fy = (y + 0.5f) * sy - 0.5f;
     int y0 = (int)floorf(fy);
@@ -178,14 +239,11 @@ void resize_u8(const Image& img, unsigned char* out, int oh, int ow,
     unsigned char* orow = out + size_t(y) * ow * 3;
     for (int x = 0; x < ow; ++x) {
       int xd = flip ? (ow - 1 - x) : x;
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = (int)floorf(fx);
-      float wx = fx - x0;
-      int x0c = x0 < 0 ? 0 : (x0 >= img.w ? img.w - 1 : x0);
-      int x1c = x0 + 1 < 0 ? 0 : (x0 + 1 >= img.w ? img.w - 1 : x0 + 1);
+      const int x0c = ct.x0[x] * 3, x1c = ct.x1[x] * 3;
+      const float wx = ct.wx[x];
       for (int c = 0; c < 3; ++c) {
-        float top = r0[x0c * 3 + c] * (1 - wx) + r0[x1c * 3 + c] * wx;
-        float bot = r1[x0c * 3 + c] * (1 - wx) + r1[x1c * 3 + c] * wx;
+        float top = r0[x0c + c] * (1 - wx) + r0[x1c + c] * wx;
+        float bot = r1[x0c + c] * (1 - wx) + r1[x1c + c] * wx;
         float v = top * (1 - wy) + bot * wy;
         v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
         orow[xd * 3 + c] = (unsigned char)(v + 0.5f);
@@ -201,7 +259,7 @@ extern "C" {
 int sph_load_image(const char* path, float* out, int oh, int ow,
                    const float* mean, const float* stdv, int flip) {
   Image img;
-  if (!load_rgb(path, &img)) return 1;
+  if (!load_rgb(path, &img, oh, ow)) return 1;
   resize_normalize(img, out, oh, ow, mean, stdv, flip);
   return 0;
 }
@@ -233,7 +291,7 @@ int sph_load_batch(const char** paths, int n, float* out, int oh, int ow,
 int sph_load_image_u8(const char* path, unsigned char* out, int oh, int ow,
                       int flip) {
   Image img;
-  if (!load_rgb(path, &img)) return 1;
+  if (!load_rgb(path, &img, oh, ow)) return 1;
   resize_u8(img, out, oh, ow, flip);
   return 0;
 }

@@ -116,6 +116,27 @@ class DataLoader:
             yield item
 
 
+def prefetch_to_device(iterator, transfer, depth: int = 2):
+    """Overlap host->device transfer with device compute.
+
+    ``transfer`` maps a host batch to device arrays (``jax.device_put`` with
+    the step's input sharding). Transfers are dispatched ``depth`` batches
+    ahead of the consumer, so the copy engine streams batch k+1 while the
+    device computes on batch k — the JAX analogue of the reference's
+    pin_memory + non_blocking H2D copies in torch DataLoader workers.
+    ``jax.device_put`` is async: enqueueing here does not block the host.
+    """
+    import collections
+
+    q: collections.deque = collections.deque()
+    for batch in iterator:
+        q.append(transfer(batch))
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def make_synthetic_dataset(
     n_images: int = 8,
     num_classes: int = 7,

@@ -234,10 +234,13 @@ def run_training(
     steps_per_epoch = max(1, len(loader)) if hasattr(loader, "__len__") else None
     start_epoch = min(step_count // steps_per_epoch, max_epochs) \
         if steps_per_epoch else 0
+    from ..data.loader import prefetch_to_device
+
     for epoch in range(start_epoch, max_epochs):
         t_epoch = time.time()
-        for batch in loader.epoch(epoch):
-            global_batch = shard(batch)
+        # Transfers dispatch 2 batches ahead of the step (device_put is
+        # async), overlapping H2D copies with device compute.
+        for global_batch in prefetch_to_device(loader.epoch(epoch), shard):
             if first_call:
                 # Multi-process: compile BEFORE the first execution, then
                 # line every rank up at the coordination-service barrier.
