@@ -314,14 +314,6 @@ def bench_e2e_pipeline(step, state, batch=8, h=512, w=1024, max_gt=16,
                 "labels": r.integers(0, 37, nb).astype(np.int32),
             }
 
-    # uint8 host pipeline + on-device normalize: 4x fewer bytes per batch
-    # into the device (decisive over the axon tunnel at ~30-40 MB/s; still
-    # the right default over PCIe), numerics identical.
-    pipe = SphPipeline(img_size=(h, w), max_gt=max_gt, training=True,
-                       normalize_on_device=True)
-    loader = DataLoader(_DiskDataset(), pipe, batch_size=batch,
-                        num_workers=8, prefetch=4, seed=0)
-
     from sph_retina_tpu.data.loader import prefetch_to_device
 
     def transfer(b):
@@ -332,32 +324,58 @@ def bench_e2e_pipeline(step, state, batch=8, h=512, w=1024, max_gt=16,
             "gt_mask": jnp.asarray(b["gt_mask"]),
         }
 
-    def run_epoch(epoch, st, device=True):
-        n_done = 0
-        if device:
-            for db in prefetch_to_device(loader.epoch(epoch), transfer):
-                st, met = step(st, db)
-                n_done += batch
-            # one scalar fetch drains the device queue (axon:
-            # block_until_ready does not block; fetching a value does)
-            float(jnp.asarray(met["loss"], jnp.float32))
-        else:
-            for _ in loader.epoch(epoch):
-                n_done += batch
-        return st, n_done
+    def measure(colorspace):
+        # uint8 host pipeline + on-device normalize: 4x fewer bytes per
+        # batch into the device than fp32; yuv420 halves that again (packed
+        # I420, chroma upsample + YCbCr->RGB fused into the jitted step).
+        # Decisive over the axon tunnel (~150 MB/s); still the right
+        # default over PCIe.
+        pipe = SphPipeline(img_size=(h, w), max_gt=max_gt, training=True,
+                           normalize_on_device=True,
+                           transfer_colorspace=colorspace)
+        loader = DataLoader(_DiskDataset(), pipe, batch_size=batch,
+                            num_workers=8, prefetch=4, seed=0)
 
-    state, _ = run_epoch(0, state)           # warm: decode cache, compile
+        def run_epoch(epoch, st, device=True):
+            n_done = 0
+            if device:
+                for db in prefetch_to_device(loader.epoch(epoch), transfer):
+                    st, met = step(st, db)
+                    n_done += batch
+                # one scalar fetch drains the device queue (axon:
+                # block_until_ready does not block; fetching a value does)
+                float(jnp.asarray(met["loss"], jnp.float32))
+            else:
+                for _ in loader.epoch(epoch):
+                    n_done += batch
+            return st, n_done
+
+        st, _ = run_epoch(0, state)          # warm: decode cache, compile
+        t0 = time.perf_counter()
+        st, n1 = run_epoch(1, st)
+        st, n2 = run_epoch(2, st)
+        rate = (n1 + n2) / (time.perf_counter() - t0)
+        # Host-side ceiling: disk -> decode -> resize -> collate with no
+        # device work; separates "can the host feed the device" from
+        # host->device bandwidth.
+        t0 = time.perf_counter()
+        _, nh = run_epoch(3, st, device=False)
+        return rate, nh / (time.perf_counter() - t0)
+
+    e2e_yuv, host_yuv = measure("yuv420")
+    e2e_rgb, host_rgb = measure("rgb")
+
+    # Raw host->device bandwidth at the e2e batch size, so the e2e numbers
+    # are interpretable against the link the run actually had (the axon
+    # tunnel fluctuates ~30-160 MB/s and its serialization costs host CPU;
+    # over PCIe this is >10 GB/s and e2e becomes host/device-bound).
+    buf = np.zeros((batch, h, w, 3), np.uint8)
+    jnp.asarray(buf).block_until_ready()
     t0 = time.perf_counter()
-    state, n1 = run_epoch(1, state)
-    state, n2 = run_epoch(2, state)
-    dt = time.perf_counter() - t0
-    # Host-side ceiling: disk -> decode -> resize -> collate with no device
-    # work. On this 1-vCPU dev host the e2e number is tunnel/host-bound;
-    # this separates "can the host feed the device" from tunnel bandwidth.
-    t0 = time.perf_counter()
-    _, nh = run_epoch(3, state, device=False)
-    host_rate = nh / (time.perf_counter() - t0)
-    return (n1 + n2) / dt, host_rate
+    for _ in range(3):
+        float(jnp.asarray(buf).ravel()[0])
+    h2d = 3 * buf.nbytes / 1e6 / (time.perf_counter() - t0)
+    return e2e_yuv, host_yuv, e2e_rgb, host_rgb, h2d
 
 
 def bench_retinanet(batch=8, h=512, w=1024, max_gt=16, n_timed=10):
@@ -549,10 +567,14 @@ def run_benchmarks():
     _checkpoint_partial(result)
     if step_state is not None:
         try:
-            e2e_rate, host_rate = bench_e2e_pipeline(*step_state)
-            extra["train_e2e_imgs_per_sec"] = round(e2e_rate, 1)
-            extra["host_pipeline_imgs_per_sec"] = round(host_rate, 1)
+            (e2e_yuv, host_yuv, e2e_rgb, host_rgb,
+             h2d) = bench_e2e_pipeline(*step_state)
+            extra["train_e2e_imgs_per_sec"] = round(e2e_yuv, 1)
+            extra["train_e2e_rgb_imgs_per_sec"] = round(e2e_rgb, 1)
+            extra["host_pipeline_imgs_per_sec"] = round(host_yuv, 1)
+            extra["host_pipeline_rgb_imgs_per_sec"] = round(host_rgb, 1)
             extra["host_pipeline_ncpu"] = os.cpu_count()
+            extra["h2d_bandwidth_mb_per_sec"] = round(h2d, 1)
         except Exception as e:
             extra["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     _checkpoint_partial(result)

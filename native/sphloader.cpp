@@ -11,10 +11,20 @@
 //   int sph_load_batch(paths, n, out, H, W, mean3, std3, flips, n_threads)
 //   int sph_load_image_u8(path, out, H, W, flip)
 //   int sph_load_batch_u8(paths, n, out, H, W, flips, n_threads)
+//   int sph_load_image_yuv(path, out, H, W, flip)
+//   int sph_load_batch_yuv(paths, n, out, H, W, flips, n_threads)
 //
 // `out` is float32 NHWC (normalized) or uint8 NHWC (_u8 variants — for the
 // ship-uint8 / normalize-on-device pipeline: 4x fewer host->device bytes,
 // the (x-mean)/std runs inside the jitted step and fuses into conv1).
+//
+// The _yuv variants emit a packed I420 chart of shape (H*3/2, W) uint8:
+// rows [0,H) = Y, rows [H, H*3/2) = the chroma strip with U in columns
+// [0, W/2) and V in [W/2, W), each at (H/2, W/2). JPEG sources are 4:2:0
+// already, so shipping subsampled chroma loses nothing the encoder kept —
+// and halves host->device bytes again (1.5 B/px vs 3). The jitted step
+// upsamples chroma bilinearly and converts BT.601 full-range YCbCr->RGB
+// (engine.train.maybe_normalize_images), fusing into conv1 under XLA.
 
 #include <cstdio>
 #include <cstdlib>
@@ -252,9 +262,189 @@ void resize_u8(const Image& img, unsigned char* out, int oh, int ow,
   }
 }
 
+// --- YUV420 (I420-packed) path ------------------------------------------
+//
+// Decode straight to YCbCr (libjpeg skips its YCbCr->RGB conversion; PNGs
+// are converted here with the same JFIF full-range matrix), then resample
+// Y at full target resolution and Cb/Cr at half resolution into one packed
+// (H*3/2, W) uint8 chart.
+
+bool decode_jpeg_ycbcr(FILE* f, Image* img, int target_h, int target_w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  // Grayscale JPEGs have no chroma planes; request YCbCr only when the
+  // source has them (libjpeg synthesizes Cb=Cr=128 otherwise via RGB).
+  cinfo.out_color_space =
+      cinfo.jpeg_color_space == JCS_GRAYSCALE ? JCS_GRAYSCALE : JCS_YCbCr;
+  if (target_h > 0 && target_w > 0) {
+    int num = 8;
+    while (num > 1) {
+      long sw = ((long)cinfo.image_width * (num - 1) + 7) / 8;
+      long sh = ((long)cinfo.image_height * (num - 1) + 7) / 8;
+      if (sw < target_w || sh < target_h) break;
+      --num;
+    }
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
+  jpeg_start_decompress(&cinfo);
+  img->w = cinfo.output_width;
+  img->h = cinfo.output_height;
+  img->data.resize(size_t(img->w) * img->h * 3);
+  if (cinfo.out_color_space == JCS_GRAYSCALE) {
+    std::vector<unsigned char> gray(img->w);
+    while (cinfo.output_scanline < cinfo.output_height) {
+      unsigned char* grow = gray.data();
+      int y = cinfo.output_scanline;
+      jpeg_read_scanlines(&cinfo, &grow, 1);
+      unsigned char* orow = img->data.data() + size_t(y) * img->w * 3;
+      for (int x = 0; x < img->w; ++x) {
+        orow[x * 3] = gray[x];
+        orow[x * 3 + 1] = 128;
+        orow[x * 3 + 2] = 128;
+      }
+    }
+  } else {
+    while (cinfo.output_scanline < cinfo.output_height) {
+      unsigned char* row =
+          img->data.data() + size_t(cinfo.output_scanline) * img->w * 3;
+      jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// JFIF full-range RGB -> YCbCr, in place (PNG sources).
+void rgb_to_ycbcr(Image* img) {
+  unsigned char* p = img->data.data();
+  const size_t n = size_t(img->w) * img->h;
+  for (size_t i = 0; i < n; ++i, p += 3) {
+    const float r = p[0], g = p[1], b = p[2];
+    float yv = 0.299f * r + 0.587f * g + 0.114f * b;
+    float cb = 128.f - 0.168736f * r - 0.331264f * g + 0.5f * b;
+    float cr = 128.f + 0.5f * r - 0.418688f * g - 0.081312f * b;
+    p[0] = (unsigned char)(yv < 0 ? 0 : (yv > 255 ? 255 : yv + 0.5f));
+    p[1] = (unsigned char)(cb < 0 ? 0 : (cb > 255 ? 255 : cb + 0.5f));
+    p[2] = (unsigned char)(cr < 0 ? 0 : (cr > 255 ? 255 : cr + 0.5f));
+  }
+}
+
+bool load_ycbcr(const char* path, Image* img, int target_h, int target_w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  unsigned char magic[2] = {0, 0};
+  if (fread(magic, 1, 2, f) != 2) {
+    fclose(f);
+    return false;
+  }
+  rewind(f);
+  bool ok = false;
+  if (magic[0] == 0xFF && magic[1] == 0xD8) {
+    ok = decode_jpeg_ycbcr(f, img, target_h, target_w);
+  } else if (magic[0] == 0x89 && magic[1] == 'P') {
+    ok = decode_png(f, img);
+    if (ok) rgb_to_ycbcr(img);
+  }
+  fclose(f);
+  return ok && img->w > 0 && img->h > 0;
+}
+
+// Bilinear-resample one interleaved channel to (th, tw), writing uint8 with
+// output stride `ostride` (1 for plane-packed output).
+void resample_channel_u8(const Image& img, int ch, unsigned char* out, int th,
+                         int tw, int flip) {
+  const float sy = float(img.h) / th;
+  ColTab ct(tw, img.w);
+  for (int y = 0; y < th; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = (int)floorf(fy);
+    float wy = fy - y0;
+    int y0c = y0 < 0 ? 0 : (y0 >= img.h ? img.h - 1 : y0);
+    int y1c = y0 + 1 < 0 ? 0 : (y0 + 1 >= img.h ? img.h - 1 : y0 + 1);
+    const unsigned char* r0 = img.data.data() + size_t(y0c) * img.w * 3 + ch;
+    const unsigned char* r1 = img.data.data() + size_t(y1c) * img.w * 3 + ch;
+    unsigned char* orow = out + size_t(y) * tw;
+    for (int x = 0; x < tw; ++x) {
+      int xd = flip ? (tw - 1 - x) : x;
+      const int x0c = ct.x0[x] * 3, x1c = ct.x1[x] * 3;
+      const float wx = ct.wx[x];
+      float top = r0[x0c] * (1 - wx) + r0[x1c] * wx;
+      float bot = r1[x0c] * (1 - wx) + r1[x1c] * wx;
+      float v = top * (1 - wy) + bot * wy;
+      v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+      orow[xd] = (unsigned char)(v + 0.5f);
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Packed-I420 loaders: `out` holds (oh*3/2, ow) uint8 — see file header.
+// oh and ow must be even.
+int sph_load_image_yuv(const char* path, unsigned char* out, int oh, int ow,
+                       int flip) {
+  if (oh % 2 || ow % 2) return 2;
+  Image img;
+  if (!load_ycbcr(path, &img, oh, ow)) return 1;
+  unsigned char* yplane = out;
+  unsigned char* uplane = out + size_t(oh) * ow;
+  // Chroma strip rows are full-width (ow); U occupies columns [0, ow/2),
+  // V occupies [ow/2, ow). Resample row-by-row with stride ow.
+  resample_channel_u8(img, 0, yplane, oh, ow, flip);
+  // U/V planes are (oh/2, ow/2) but live inside a stride-ow strip: resample
+  // into a contiguous scratch then interleave rows.
+  const int ch2 = oh / 2, cw2 = ow / 2;
+  std::vector<unsigned char> scratch(size_t(ch2) * cw2 * 2);
+  resample_channel_u8(img, 1, scratch.data(), ch2, cw2, flip);
+  resample_channel_u8(img, 2, scratch.data() + size_t(ch2) * cw2, ch2, cw2,
+                      flip);
+  for (int y = 0; y < ch2; ++y) {
+    memcpy(uplane + size_t(y) * ow, scratch.data() + size_t(y) * cw2, cw2);
+    memcpy(uplane + size_t(y) * ow + cw2,
+           scratch.data() + size_t(ch2) * cw2 + size_t(y) * cw2, cw2);
+  }
+  return 0;
+}
+
+int sph_load_batch_yuv(const char** paths, int n, unsigned char* out, int oh,
+                       int ow, const int* flips, int n_threads) {
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next(0), failed(0);
+  const size_t stride = size_t(oh) * 3 / 2 * ow;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      unsigned char* dst = out + size_t(i) * stride;
+      if (sph_load_image_yuv(paths[i], dst, oh, ow,
+                             flips ? flips[i] : 0) != 0) {
+        failed.fetch_add(1);
+        memset(dst, 0, stride);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load();
+}
 
 int sph_load_image(const char* path, float* out, int oh, int ow,
                    const float* mean, const float* stdv, int flip) {

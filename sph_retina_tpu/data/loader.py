@@ -120,21 +120,35 @@ def prefetch_to_device(iterator, transfer, depth: int = 2):
     """Overlap host->device transfer with device compute.
 
     ``transfer`` maps a host batch to device arrays (``jax.device_put`` with
-    the step's input sharding). Transfers are dispatched ``depth`` batches
-    ahead of the consumer, so the copy engine streams batch k+1 while the
-    device computes on batch k — the JAX analogue of the reference's
-    pin_memory + non_blocking H2D copies in torch DataLoader workers.
-    ``jax.device_put`` is async: enqueueing here does not block the host.
+    the step's input sharding). Transfers run on a dedicated background
+    thread, ``depth`` batches ahead of the consumer — the JAX analogue of
+    the reference's pin_memory + non_blocking H2D copies in torch DataLoader
+    workers. A thread (not inline dispatch) because ``jax.device_put`` can
+    *block* until the copy lands on constrained host->device links (e.g.
+    tunneled devices); it releases the GIL while copying, so the consumer
+    keeps dispatching compute on batch k while batch k+1 streams in.
     """
-    import collections
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = object()
 
-    q: collections.deque = collections.deque()
-    for batch in iterator:
-        q.append(transfer(batch))
-        if len(q) > depth:
-            yield q.popleft()
-    while q:
-        yield q.popleft()
+    def run():
+        try:
+            for batch in iterator:
+                q.put(transfer(batch))
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
+        else:
+            q.put(stop)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def make_synthetic_dataset(

@@ -117,6 +117,22 @@ def _load():
         ]
     except AttributeError:
         pass
+    # Packed-I420 variants (transfer_colorspace="yuv420"); absent in older
+    # shared objects — a rebuild adds them.
+    try:
+        lib.sph_load_image_yuv.restype = ctypes.c_int
+        lib.sph_load_image_yuv.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.sph_load_batch_yuv.restype = ctypes.c_int
+        lib.sph_load_batch_yuv.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
@@ -156,6 +172,27 @@ def load_image_u8(path: str, img_size, flip: bool = False):
     h, w = img_size
     out = np.empty((h, w, 3), np.uint8)
     rc = lib.sph_load_image_u8(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        h, w, int(flip))
+    return out if rc == 0 else None
+
+
+def load_image_yuv(path: str, img_size, flip: bool = False):
+    """Decode+resample one image -> packed I420 ``(H*3/2, W)`` uint8, or None.
+
+    Rows ``[0, H)`` hold Y; rows ``[H, H*3/2)`` hold the chroma strip with U
+    in columns ``[0, W/2)`` and V in ``[W/2, W)`` (each ``(H/2, W/2)``).
+    Halves host->device bytes vs RGB uint8; the jitted step upsamples chroma
+    and converts to RGB (``engine.train.maybe_normalize_images``). JPEG
+    sources are 4:2:0 already, so the subsampled chroma carries everything
+    the encoder kept.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "sph_load_image_yuv"):
+        return None
+    h, w = img_size
+    out = np.empty((h * 3 // 2, w), np.uint8)
+    rc = lib.sph_load_image_yuv(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         h, w, int(flip))
     return out if rc == 0 else None

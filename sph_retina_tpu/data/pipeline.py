@@ -42,10 +42,43 @@ class SphPipeline:
     # PCIe/tunnel, identical numerics (source pixels are uint8 either way),
     # and the (x - mean) / std fuses into the first conv under XLA.
     normalize_on_device: bool = False
+    # "rgb" (default) ships (H, W, 3) uint8. "yuv420" ships a packed I420
+    # chart (H*3/2, W) uint8 — half the bytes again; the jitted step
+    # upsamples chroma + converts YCbCr->RGB (BT.601 full range, the JPEG
+    # matrix) before normalizing. Near-lossless for JPEG sources (their
+    # chroma is 4:2:0 already); requires normalize_on_device. For
+    # bandwidth-constrained host->device links.
+    transfer_colorspace: str = "rgb"
 
     def __post_init__(self):
         self.mean = IMAGENET_MEAN if self.mean is None else self.mean
         self.std = IMAGENET_STD if self.std is None else self.std
+        if self.transfer_colorspace not in ("rgb", "yuv420"):
+            raise ValueError(
+                f"transfer_colorspace must be 'rgb' or 'yuv420', got "
+                f"{self.transfer_colorspace!r}")
+        if self.transfer_colorspace == "yuv420" and not self.normalize_on_device:
+            raise ValueError(
+                "transfer_colorspace='yuv420' requires normalize_on_device "
+                "(the YCbCr->RGB conversion happens in the jitted step)")
+
+    def pack_yuv420(self, rgb: np.ndarray) -> np.ndarray:
+        """RGB uint8 (H, W, 3) -> packed I420 (H*3/2, W) uint8 (host fallback
+        for sources the native loader didn't handle; JFIF full-range)."""
+        h, w = rgb.shape[:2]
+        f = rgb.astype(np.float32)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        # 2x2 box-average chroma subsampling (what encoders do)
+        def sub(c):
+            return (c.reshape(h // 2, 2, w // 2, 2).mean((1, 3)))
+        out = np.empty((h * 3 // 2, w), np.uint8)
+        out[:h] = np.clip(y + 0.5, 0, 255).astype(np.uint8)
+        out[h:, : w // 2] = np.clip(sub(cb) + 0.5, 0, 255).astype(np.uint8)
+        out[h:, w // 2:] = np.clip(sub(cr) + 0.5, 0, 255).astype(np.uint8)
+        return out
 
     def load_image(self, path: str) -> np.ndarray:
         from PIL import Image
@@ -88,7 +121,10 @@ class SphPipeline:
             from . import native_loader
 
             if native_loader.available():
-                if self.normalize_on_device:
+                if self.transfer_colorspace == "yuv420":
+                    img = native_loader.load_image_yuv(
+                        item["img_path"], self.img_size, flip=do_flip)
+                elif self.normalize_on_device:
                     img = native_loader.load_image_u8(
                         item["img_path"], self.img_size, flip=do_flip)
                 else:
@@ -102,7 +138,9 @@ class SphPipeline:
             raw = self.resize(raw)
             if do_flip:
                 raw = raw[:, ::-1]
-            if self.normalize_on_device:
+            if self.transfer_colorspace == "yuv420":
+                img = self.pack_yuv420(np.ascontiguousarray(raw))
+            elif self.normalize_on_device:
                 # keep uint8; the jitted step normalizes on device
                 img = np.ascontiguousarray(raw)
             else:

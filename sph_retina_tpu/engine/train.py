@@ -184,6 +184,31 @@ def maybe_normalize_images(images: jax.Array) -> jax.Array:
 
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    if images.shape[-1] != 3:
+        # Packed I420 (B, H*3/2, W) or (H*3/2, W): Y rows then a U|V
+        # half-res strip (SphPipeline(transfer_colorspace="yuv420") — half
+        # the bytes of RGB uint8 over the host->device link). Upsample
+        # chroma bilinearly and convert JFIF full-range YCbCr -> RGB; all
+        # of it fuses ahead of conv1 under XLA.
+        squeeze = images.ndim == 2
+        if squeeze:
+            images = images[None]
+        b, h32, w = images.shape
+        h = h32 * 2 // 3
+        y = images[:, :h, :].astype(jnp.float32)
+        strip = images[:, h:, :]
+        u = strip[:, :, : w // 2].astype(jnp.float32)
+        v = strip[:, :, w // 2:].astype(jnp.float32)
+        u = jax.image.resize(u, (b, h, w), "bilinear") - 128.0
+        v = jax.image.resize(v, (b, h, w), "bilinear") - 128.0
+        rgb = jnp.stack([
+            y + 1.402 * v,
+            y - 0.344136 * u - 0.714136 * v,
+            y + 1.772 * u,
+        ], axis=-1)
+        rgb = jnp.clip(rgb, 0.0, 255.0)
+        out = (rgb - mean) / std
+        return out[0] if squeeze else out
     return (images.astype(jnp.float32) - mean) / std
 
 

@@ -394,6 +394,82 @@ def test_native_loader_u8_path(tmp_path):
     np.testing.assert_array_equal(out["images"], u8.astype(np.uint8))
 
 
+def test_yuv420_transfer_close_to_rgb(tmp_path):
+    """transfer_colorspace='yuv420' ships a packed I420 chart at half the
+    bytes of RGB uint8; after device-side chroma upsample + YCbCr->RGB +
+    normalize, pixels match the RGB path within JPEG-noise tolerance
+    (chroma was 4:2:0 in the JPEG source to begin with)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from sph_retina_tpu.data import native_loader as nl
+    from sph_retina_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from sph_retina_tpu.engine.train import maybe_normalize_images
+
+    # smooth gradients: chroma subsampling is exact on smooth content
+    # (sharp chroma edges genuinely lose information at 4:2:0 — as they
+    # already do inside any 4:2:0 JPEG)
+    yy, xx = np.mgrid[0:64, 0:128]
+    img = np.stack([xx * 2, yy * 3, xx + yy], -1).astype(np.uint8)
+    p = str(tmp_path / "img.jpg")
+    Image.fromarray(img).save(p, quality=92)
+    item = {"img_path": p, "boxes": np.zeros((0, 4), np.float32),
+            "labels": np.zeros((0,), np.int32)}
+
+    rgb_pipe = SphPipeline(img_size=(32, 64), max_gt=4, training=False,
+                           normalize_on_device=True)
+    yuv_pipe = SphPipeline(img_size=(32, 64), max_gt=4, training=False,
+                           normalize_on_device=True,
+                           transfer_colorspace="yuv420")
+    rgb = rgb_pipe(dict(item), np.random.default_rng(0))["images"]
+    yuv = yuv_pipe(dict(item), np.random.default_rng(0))["images"]
+    assert yuv.shape == (48, 64) and yuv.dtype == np.uint8  # (H*3/2, W)
+    a = np.asarray(maybe_normalize_images(jnp.asarray(rgb[None])))
+    b = np.asarray(maybe_normalize_images(jnp.asarray(yuv[None])))
+    assert b.shape == (1, 32, 64, 3)
+    pix_err = np.abs((a - b) * IMAGENET_STD)
+    assert pix_err.mean() < 1.5 and pix_err.max() < 16.0
+
+    # host fallback pack (non-native sources) agrees with the same bound
+    packed = rgb_pipe.pack_yuv420(rgb)
+    c = np.asarray(maybe_normalize_images(jnp.asarray(packed[None])))
+    assert np.abs((a - c) * IMAGENET_STD).mean() < 1.5
+
+    if nl.available() and hasattr(nl._load(), "sph_load_image_yuv"):
+        # native flip flips all three planes consistently
+        fl = nl.load_image_yuv(p, (32, 64), flip=True)
+        nf = nl.load_image_yuv(p, (32, 64), flip=False)
+        bf = np.asarray(maybe_normalize_images(jnp.asarray(fl[None])))
+        bn = np.asarray(maybe_normalize_images(jnp.asarray(nf[None])))
+        np.testing.assert_allclose(bf, bn[:, :, ::-1], atol=1e-5)
+
+    with pytest.raises(ValueError):
+        SphPipeline(transfer_colorspace="yuv420")  # needs device normalize
+    with pytest.raises(ValueError):
+        SphPipeline(transfer_colorspace="bgr")
+
+
+def test_prefetch_to_device_order_and_error():
+    """prefetch_to_device yields transferred batches in order and surfaces
+    producer/transfer exceptions in the consumer (transfers run on a
+    background thread because device_put can block on slow host links)."""
+    from sph_retina_tpu.data.loader import prefetch_to_device
+
+    out = list(prefetch_to_device(iter(range(7)), lambda x: x * 10, depth=2))
+    assert out == [0, 10, 20, 30, 40, 50, 60]
+
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("decode failed")
+        return x
+
+    got = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for v in prefetch_to_device(iter(range(7)), boom, depth=2):
+            got.append(v)
+    assert got == [0, 1, 2]
+
+
 def test_diff_seed_changes_aug_not_shuffle():
     """--diff-seed parity: aug_seed varies the per-sample augmentation
     streams only; the shuffle permutation (shard partitioning) must stay
