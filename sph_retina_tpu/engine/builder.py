@@ -74,6 +74,7 @@ def build_detector_config(cfg: dict) -> DetectorConfig:
         ),
         loss_bbox=build_loss(loss_bbox_cfg),
         reg_decoded_bbox=m.get("reg_decoded_bbox", False),
+        loss_pos_topk=m.get("loss_pos_topk", 1024),
         assign_backend=assign_backend,
         nms_pre=test_cfg.get("nms_pre", 1000),
         nms_backend=test_cfg.get("iou_calculator", "planar"),

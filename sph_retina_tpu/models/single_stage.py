@@ -109,6 +109,15 @@ class DetectorConfig:
     # near-threshold candidates that greedy NMS would drop anyway). Set
     # False for bit-exact reference preselection.
     approx_topk: bool = True
+    # Decoded-box regression losses (reg_decoded_bbox) run per anchor, but
+    # only positives carry weight (~10^2 of ~10^5 per image). Gathering the
+    # top-K anchors by bbox weight before the loss keeps the expensive loss
+    # math (e.g. KentLoss's 121-point deg2kent fwd+bwd) off the 99.9%
+    # zero-weight anchors — exact whenever positives <= K, since dropped
+    # terms have weight 0 and the avg_factor is unchanged. K is per-image;
+    # 1024 is ~10x any realistic RetinaNet positive count. Set 0 to
+    # disable (full per-anchor loss).
+    loss_pos_topk: int = 1024
 
     def featmap_sizes(self):
         # ceil: stride-2 convs output ceil(in/2), so tiny inputs still give
@@ -231,11 +240,21 @@ def retina_loss(
     b, n, d = reg.shape
     if cfg.reg_decoded_bbox:
         pred_boxes = cfg.bbox_coder.decode(anchors[None], reg)
+        preds = pred_boxes.reshape(-1, d)
+        targets = t.bbox_targets.reshape(-1, d)
+        weights = t.bbox_weights.reshape(-1)
+        k = min(b * cfg.loss_pos_topk, b * n) if cfg.loss_pos_topk else 0
+        if 0 < k < b * n:
+            # Positive-gather: the loss only sees the K highest-weight
+            # anchors (exact — dropped terms are weight-0; see
+            # DetectorConfig.loss_pos_topk). Gradients flow through the
+            # gather to the positives, which are the only anchors whose
+            # regression gradient is nonzero anyway.
+            weights, idx = jax.lax.top_k(weights, k)
+            preds = preds[idx]
+            targets = targets[idx]
         loss_bbox = cfg.loss_bbox(
-            pred_boxes.reshape(-1, d),
-            t.bbox_targets.reshape(-1, d),
-            t.bbox_weights.reshape(-1),
-            avg_factor=num_total,
+            preds, targets, weights, avg_factor=num_total,
         )
     else:
         loss_bbox = cfg.loss_bbox(

@@ -86,6 +86,38 @@ def test_loss_with_iou_loss_decoded(setup):
     assert np.isfinite(float(losses["loss_bbox"]))
 
 
+def test_loss_pos_topk_gather_exact(setup):
+    """The positive-gather fast path (loss_pos_topk) must be exact vs the
+    full per-anchor decoded loss — same value, same head gradients — since
+    every dropped term is weight-0 and avg_factor is unchanged."""
+    cfg0, model, variables, images = setup
+    boxes, labels, mask = _gt_batch()
+    cls_scores, bbox_preds = model.apply(variables, images)
+
+    def run(topk):
+        cfg = retina_config(NUM_CLASSES, img_size=(H, W),
+                            loss_bbox=lambda *a, **k: sph2pob_iou_loss(
+                                *a, mode="ciou", **k),
+                            reg_decoded_bbox=True, loss_pos_topk=topk)
+
+        def f(preds):
+            return retina_loss(cfg, cls_scores, preds, cfg.flat_anchors(),
+                               boxes, labels, mask)["loss_bbox"]
+
+        val, grad = jax.value_and_grad(
+            lambda p: f(p))(bbox_preds)
+        return float(val), grad
+
+    # topk=16 (< anchors, >= positives) must match the full path (topk=0)
+    v_full, g_full = run(0)
+    v_gather, g_gather = run(16)
+    assert np.isclose(v_full, v_gather, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_gather)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)
+
+
 def test_no_gt_image(setup):
     cfg, model, variables, images = setup
     boxes, labels, _ = _gt_batch()
