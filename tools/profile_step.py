@@ -155,12 +155,32 @@ def report_breakdown(cfg, tx, batch, rng):
          timed_ms(lambda f: head.apply({"params": params["bbox_head"]}, f),
                   neck_feats)),
         ("loss (assign IoU + coder + focal + sph2pob)",
-         timed_ms(lambda o: retina_loss(
+         timed_ms(lambda o: sum(retina_loss(
              det_cfg, o[0], o[1], anchors, batch["gt_boxes"],
-             batch["gt_labels"], batch["gt_mask"])["loss"], head_out)),
+             batch["gt_labels"], batch["gt_mask"]).values()), head_out)),
     ]
     step = make_train_step(model, det_cfg, tx, retina_loss)
-    full = timed_ms(lambda b: step(state, b)[1]["loss"], batch)
+
+    # Full-step timing must thread the updated TrainState through the loop
+    # — discarding it lets XLA dead-code-eliminate the entire backward +
+    # update (measured: the "full" step collapses to forward+loss cost).
+    @jax.jit
+    def loop_full(st, n):
+        def body(i, carry):
+            s0, acc = carry
+            imgs = batch["images"] + i.astype(model.dtype) * 1e-6
+            s2, met = step(s0, dict(batch, images=imgs))
+            return s2, acc + met["loss"]
+        return jax.lax.fori_loop(0, n, body, (st, jnp.float32(0.0)))[1]
+
+    float(loop_full(state, 1))
+    full = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter(); float(loop_full(state, 3))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(loop_full(state, 18))
+        tl = time.perf_counter() - t0
+        full = min(full, (tl - ts) / 15 * 1e3)
     fwd_loss = sum(ms for _, ms in rows)
     rows.append(("backward + SGD update (residual)",
                  max(full - fwd_loss, 0.0)))
