@@ -236,3 +236,131 @@ def eval_spherical_map(
         "per_class": ap,
         "valid_classes": valid_class,
     }
+
+
+# --------------------------------------------------------------------------- #
+# VOC-style mAP (the reference's vendored eval_map machinery)
+# --------------------------------------------------------------------------- #
+def _voc_average_precision(recalls, precisions, mode="area"):
+    """mmdet ``average_precision`` (mean_ap.py:13-60) single-scale parity."""
+    if mode == "area":
+        mrec = np.concatenate([[0.0], recalls, [1.0]])
+        mpre = np.concatenate([[0.0], precisions, [0.0]])
+        mpre = np.maximum.accumulate(mpre[::-1])[::-1]
+        idx = np.where(mrec[1:] != mrec[:-1])[0]
+        return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+    if mode == "11points":
+        ap = 0.0
+        for thr in np.arange(0.0, 1.0 + 1e-3, 0.1):
+            precs = precisions[recalls >= thr]
+            ap += float(precs.max()) if precs.size else 0.0
+        return ap / 11.0
+    raise ValueError(f"unknown AP mode {mode!r}")
+
+
+def _voc_tpfp(ious, gt_ignore_inds, scores, iou_thr):
+    """mmdet ``tpfp_default`` matching (mean_ap.py:169-266, no area
+    ranges): detections in score order each claim their *global* max-IoU
+    GT — ignored GT absorbs the detection (neither TP nor FP), an
+    already-covered GT makes it an FP (VOC semantics; COCO instead
+    rematches to the best free GT — that difference is why both matchers
+    exist here).
+    """
+    num_dets, num_gts = ious.shape
+    tp = np.zeros(num_dets, np.float32)
+    fp = np.zeros(num_dets, np.float32)
+    if num_gts == 0:
+        fp[:] = 1
+        return tp, fp
+    ious_max = ious.max(axis=1)
+    ious_argmax = ious.argmax(axis=1)
+    gt_covered = np.zeros(num_gts, bool)
+    for i in np.argsort(-scores):
+        if ious_max[i] >= iou_thr:
+            matched = ious_argmax[i]
+            if not gt_ignore_inds[matched]:
+                if not gt_covered[matched]:
+                    gt_covered[matched] = True
+                    tp[i] = 1
+                else:
+                    fp[i] = 1
+            # ignored GT: neither tp nor fp
+        else:
+            fp[i] = 1
+    return tp, fp
+
+
+def eval_voc_map(
+    det_results: Sequence[tuple],
+    annotations: Sequence[dict],
+    num_classes: int,
+    *,
+    iou_thr: float = 0.5,
+    backend: str = "unbiased",
+    ap_mode: str = "area",
+) -> dict:
+    """VOC-style mAP with spherical IoU matching.
+
+    Exact semantics of the reference's vendored ``eval_map``
+    (/root/reference/mmdet/core/evaluation/mean_ap.py:525-680 with
+    ``tpfp_default``:169-266): single IoU threshold, per-class PR curve
+    over all images, area-under-PR (or 11-point) AP, mAP over classes
+    with GT — differentially tested against that file in
+    tests/test_data_eval.py. Inputs as :func:`eval_spherical_map`; the
+    IoU matrix itself is computed on-device by ``backend``.
+    """
+    n_imgs = len(det_results)
+    assert len(annotations) == n_imgs
+    per_class = []
+    aps = []
+    for c in range(num_classes):
+        tps, fps, scores_all = [], [], []
+        num_gts = 0
+        num_dets = 0
+        for (boxes, scores, labels), ann in zip(det_results, annotations):
+            labels = np.asarray(labels)
+            det_idx = np.where(labels == c)[0]
+            det_boxes = np.asarray(boxes)[det_idx]
+            det_scores = np.asarray(scores)[det_idx]
+            gt = np.asarray(ann["boxes"])[np.asarray(ann["labels"]) == c]
+            ig_labels = np.asarray(
+                ann.get("ignore_labels", np.zeros((0,), np.int32)))
+            ig = np.asarray(ann.get("ignore_boxes",
+                                    np.zeros((0, gt.shape[-1] if gt.size
+                                              else 4), np.float32)))
+            ig = ig[ig_labels == c] if len(ig_labels) else ig[:0]
+            num_gts += len(gt)
+            num_dets += len(det_idx)
+            stacked = (np.concatenate([gt, ig])
+                       if len(gt) or len(ig) else gt)
+            ignore_inds = np.concatenate(
+                [np.zeros(len(gt), bool), np.ones(len(ig), bool)])
+            ious = _pairwise_iou_np(det_boxes, stacked, backend)
+            tp, fp = _voc_tpfp(ious, ignore_inds, det_scores, iou_thr)
+            tps.append(tp)
+            fps.append(fp)
+            scores_all.append(det_scores)
+        scores_cat = np.concatenate(scores_all) if scores_all else \
+            np.zeros((0,))
+        order = np.argsort(-scores_cat)
+        tp_cum = np.cumsum(np.concatenate(tps)[order]) if len(order) else \
+            np.zeros((0,))
+        fp_cum = np.cumsum(np.concatenate(fps)[order]) if len(order) else \
+            np.zeros((0,))
+        eps = np.finfo(np.float32).eps
+        recalls = tp_cum / max(num_gts, eps)
+        precisions = tp_cum / np.maximum(tp_cum + fp_cum, eps)
+        ap_c = _voc_average_precision(recalls, precisions, ap_mode)
+        per_class.append({
+            "num_gts": num_gts,
+            "num_dets": num_dets,
+            "recall": float(recalls[-1]) if len(recalls) else 0.0,
+            "precision": float(precisions[-1]) if len(precisions) else 0.0,
+            "ap": ap_c,
+        })
+        if num_gts > 0:
+            aps.append(ap_c)
+    return {
+        "mAP": float(np.mean(aps)) if aps else 0.0,
+        "per_class": per_class,
+    }

@@ -509,3 +509,110 @@ def test_native_loader_foreign_host_binary_rebuilt():
     nl._lib = None  # drop the cached handle to force the load path
     assert nl.available()  # forced `make -B` rebuilt for this host
     assert nl._built_on_this_host()
+
+
+# --------------------------------------------------------------------------- #
+# VOC-style eval_map: live differential vs the reference's own mean_ap.py
+# --------------------------------------------------------------------------- #
+def _voc_differential_dataset(seed, n_imgs=6, n_cls=4):
+    """Random detections/GT twice: spherical format for eval_voc_map and
+    the reference eval_map format (per-class xyxy+score lists).
+
+    Boxes stay away from the seam/poles and inside the chart so the
+    ``naive`` (planar-chart) backend IoU equals the reference's
+    ``bbox_overlaps`` on the xyxy conversion exactly (linear deg->pix
+    mapping; IoU is invariant to per-axis linear scaling).
+    """
+    rng = np.random.default_rng(seed)
+
+    def xyxy(b):
+        return np.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+                         b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2],
+                        axis=-1).astype(np.float32)
+
+    def rand_boxes(n):
+        return np.stack([rng.uniform(60, 300, n), rng.uniform(45, 135, n),
+                         rng.uniform(5, 40, n), rng.uniform(5, 40, n)],
+                        axis=-1).astype(np.float32)
+
+    det_results, annotations, ref_dets, ref_anns = [], [], [], []
+    for _ in range(n_imgs):
+        g = int(rng.integers(1, 6))
+        gt, gl = rand_boxes(g), rng.integers(0, n_cls, g).astype(np.int32)
+        n_ig = int(rng.integers(0, 3))
+        ig = rand_boxes(n_ig)
+        igl = rng.integers(0, n_cls, n_ig).astype(np.int32)
+
+        dets, dlabels = [], []
+        for b, lab in zip(gt, gl):
+            for _ in range(int(rng.integers(1, 4))):
+                j = b + rng.normal(0, [4, 4, 5, 5])
+                j[2:] = np.clip(j[2:], 3, 60)
+                j[:2] = np.clip(j[:2], 45, [315, 134])
+                dets.append(j)
+                dlabels.append(lab if rng.random() < 0.8
+                               else rng.integers(0, n_cls))
+        n_noise = int(rng.integers(2, 6))
+        dets.extend(rand_boxes(n_noise))
+        dlabels.extend(rng.integers(0, n_cls, n_noise))
+        det_boxes = np.asarray(dets, np.float32)
+        det_labels = np.asarray(dlabels, np.int32)
+        det_scores = rng.uniform(0.05, 1.0, len(dets)).astype(np.float32)
+
+        det_results.append((det_boxes, det_scores, det_labels))
+        annotations.append({"boxes": gt, "labels": gl,
+                            "ignore_boxes": ig, "ignore_labels": igl})
+        ref_dets.append([
+            np.concatenate([xyxy(det_boxes[det_labels == c]),
+                            det_scores[det_labels == c, None]], axis=-1)
+            for c in range(n_cls)
+        ])
+        ref_anns.append(dict(bboxes=xyxy(gt), labels=gl,
+                             bboxes_ignore=xyxy(ig), labels_ignore=igl))
+    return det_results, annotations, ref_dets, ref_anns
+
+
+@pytest.mark.parametrize("iou_thr", [0.5, 0.75])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_voc_map_matches_reference_eval_map(iou_thr, seed):
+    """eval_voc_map == the reference's vendored eval_map (tpfp_default +
+    area-AP, /root/reference/mmdet/core/evaluation/mean_ap.py:169,525) on
+    identical random inputs — the evaluation analogue of the IoU
+    differential harness."""
+    from utils.refmods import load_reference_mean_ap, reference_available
+
+    if not reference_available():
+        pytest.skip("/root/reference not present")
+    from sph_retina_tpu.engine.eval import eval_voc_map
+
+    mean_ap = load_reference_mean_ap()
+    det_results, annotations, ref_dets, ref_anns = _voc_differential_dataset(
+        seed)
+    ours = eval_voc_map(det_results, annotations, 4, iou_thr=iou_thr,
+                        backend="naive")
+    ref_map, ref_cls = mean_ap.eval_map(
+        ref_dets, ref_anns, iou_thr=iou_thr, nproc=1, logger="silent")
+    assert ours["mAP"] == pytest.approx(float(ref_map), abs=2e-5)
+    for c in range(4):
+        assert ours["per_class"][c]["num_gts"] == ref_cls[c]["num_gts"]
+        assert ours["per_class"][c]["ap"] == pytest.approx(
+            float(ref_cls[c]["ap"]), abs=2e-5)
+
+
+def test_voc_map_11points_mode():
+    """11-point AP mode matches the reference's average_precision('11points')
+    on the same PR curve."""
+    from utils.refmods import load_reference_mean_ap, reference_available
+
+    if not reference_available():
+        pytest.skip("/root/reference not present")
+    from sph_retina_tpu.engine.eval import _voc_average_precision
+
+    mean_ap = load_reference_mean_ap()
+    rng = np.random.default_rng(3)
+    recalls = np.sort(rng.uniform(0, 1, 50))
+    precisions = rng.uniform(0, 1, 50)
+    for mode in ("area", "11points"):
+        ref = float(mean_ap.average_precision(recalls, precisions, mode))
+        assert _voc_average_precision(recalls, precisions, mode) == \
+            pytest.approx(ref, abs=1e-6)

@@ -132,3 +132,50 @@ def load_reference_sphdet():
     _restore_numpy1_builtins(ns.kent_formator)
     _cache["ns"] = ns
     return ns
+
+
+def load_reference_mean_ap():
+    """Load the reference's vendored VOC-mAP machinery
+    (/root/reference/mmdet/core/evaluation/mean_ap.py: ``eval_map``,
+    ``tpfp_default``, ``average_precision``) standalone for differential
+    testing of the evaluator. Needs only numpy at runtime; the mmcv /
+    terminaltables imports are satisfied with inert stubs (``print_log`` /
+    ``AsciiTable`` are summary-printing only, never exercised with
+    ``logger='silent'``)."""
+    if "mean_ap" in _cache:
+        return _cache["mean_ap"]
+    eval_dir = os.path.join(REF_ROOT, "mmdet", "core", "evaluation")
+    if not os.path.isdir(eval_dir):
+        raise ImportError(f"reference eval dir not found at {eval_dir}")
+
+    if "mmcv" not in sys.modules:
+        mmcv = types.ModuleType("mmcv")
+        sys.modules["mmcv"] = mmcv
+    mmcv = sys.modules["mmcv"]
+    if not hasattr(mmcv, "is_str"):
+        mmcv.is_str = lambda x: isinstance(x, str)
+    if "mmcv.utils" not in sys.modules:
+        utils = types.ModuleType("mmcv.utils")
+        utils.print_log = lambda *a, **k: None
+        sys.modules["mmcv.utils"] = utils
+        mmcv.utils = utils
+    if "terminaltables" not in sys.modules:
+        tt = types.ModuleType("terminaltables")
+
+        class AsciiTable:
+            def __init__(self, *a, **k):
+                self.table = ""
+                self.inner_footing_row_border = False
+
+        tt.AsciiTable = AsciiTable
+        sys.modules["terminaltables"] = tt
+
+    name = "ref_mmdet_evaluation"
+    if name not in sys.modules:
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [eval_dir]
+        pkg.__package__ = name
+        sys.modules[name] = pkg
+    mod = importlib.import_module(f"{name}.mean_ap")
+    _cache["mean_ap"] = mod
+    return mod

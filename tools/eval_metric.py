@@ -9,6 +9,7 @@ different IoU backends / thresholds can be compared cheaply.
     python tools/test.py cfg.py ckpts --save-raw raw.npz
     python tools/eval_metric.py cfg.py raw.npz --iou-backend unbiased
     python tools/eval_metric.py cfg.py raw.npz --iou-thrs 0.5 0.75
+    python tools/eval_metric.py cfg.py raw.npz --voc        # mmdet eval_map
 """
 
 from __future__ import annotations
@@ -28,6 +29,10 @@ def main():
     p.add_argument("--iou-backend", default="sph2pob_efficient")
     p.add_argument("--iou-thrs", type=float, nargs="*", default=None,
                    help="override the COCO 0.5:0.95 threshold sweep")
+    p.add_argument("--voc", action="store_true",
+                   help="VOC-style mAP (the reference's vendored eval_map "
+                        "semantics, single threshold = first --iou-thrs "
+                        "or 0.5) instead of COCO-style")
     p.add_argument("--out", default=None, help="write metrics JSON here")
     p.add_argument("--device", default="cpu", choices=["cpu", "tpu", "axon"],
                    help="offline rescoring is tiny; default to cpu so the "
@@ -51,13 +56,23 @@ def main():
         det_results.append((boxes, scores, labels))
         annotations.append({"boxes": gt_boxes, "labels": gt_labels})
 
-    kwargs = {}
-    if args.iou_thrs:
-        kwargs["iou_thrs"] = tuple(args.iou_thrs)
-    metrics = eval_spherical_map(det_results, annotations,
-                                 cfg["model"]["num_classes"],
-                                 backend=args.iou_backend, **kwargs)
-    summary = {k: v for k, v in metrics.items() if isinstance(v, float)}
+    if args.voc:
+        from sph_retina_tpu.engine.eval import eval_voc_map
+
+        metrics = eval_voc_map(
+            det_results, annotations, cfg["model"]["num_classes"],
+            iou_thr=(args.iou_thrs[0] if args.iou_thrs else 0.5),
+            backend=args.iou_backend)
+        summary = {"mAP": metrics["mAP"],
+                   "per_class": metrics["per_class"]}
+    else:
+        kwargs = {}
+        if args.iou_thrs:
+            kwargs["iou_thrs"] = tuple(args.iou_thrs)
+        metrics = eval_spherical_map(det_results, annotations,
+                                     cfg["model"]["num_classes"],
+                                     backend=args.iou_backend, **kwargs)
+        summary = {k: v for k, v in metrics.items() if isinstance(v, float)}
     print(json.dumps(summary, indent=2))
     if args.out:
         with open(args.out, "w") as f:
