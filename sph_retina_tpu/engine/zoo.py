@@ -40,6 +40,21 @@ def _common(cfg_dict):
     )
 
 
+def _reg_loss_kwargs(cfg_dict, *, decoded_flag=True):
+    """model.loss_bbox / model.reg_decoded_bbox -> family-config kwargs
+    (the same reference config surface build_detector_config parses for
+    RetinaNet, so every family shares one loss axis)."""
+    from ..losses import build_loss
+
+    m = cfg_dict["model"]
+    kw = {}
+    if m.get("loss_bbox"):
+        kw["loss_bbox"] = build_loss(m["loss_bbox"])
+    if decoded_flag and "reg_decoded_bbox" in m:
+        kw["reg_decoded_bbox"] = bool(m["reg_decoded_bbox"])
+    return kw
+
+
 class RetinaNetFamily:
     name = "SphRetinaNet"
 
@@ -89,7 +104,9 @@ class FCOSFamily:
                         box_version=c["box_version"], dtype=dtype,
                         **c["backbone"])
         return model, fcos_config(c["num_classes"], img_size=c["img_size"],
-                                  box_version=c["box_version"])
+                                  box_version=c["box_version"],
+                                  **_reg_loss_kwargs(cfg_dict,
+                                                     decoded_flag=False))
 
     init = RetinaNetFamily.init
 
@@ -125,7 +142,8 @@ class SSDFamily:
                        box_version=c["box_version"], dtype=dtype,
                        remat=c["backbone"]["remat"])
         return model, ssd_config(c["num_classes"], img_size=c["img_size"],
-                                 box_version=c["box_version"])
+                                 box_version=c["box_version"],
+                                 **_reg_loss_kwargs(cfg_dict))
 
     init = RetinaNetFamily.init
 
@@ -171,6 +189,7 @@ class FasterRCNNFamily:
             c["num_classes"], img_size=c["img_size"],
             box_version=c["box_version"],
             sampler_type=sampler_type,
+            **_reg_loss_kwargs(cfg_dict),
             **parse_test_nms_cfg(cfg_dict))
 
     @staticmethod

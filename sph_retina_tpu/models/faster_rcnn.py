@@ -243,6 +243,12 @@ class FasterRCNNConfig:
     pos_fraction: float = 0.25
     sampler_type: str = "random"   # "random" | "ohem" (hard-example mining)
     assign_backend: str = "sph2pob_efficient"
+    # second-stage regression loss (reference pattern
+    # faster_rcnn_r50_fpn_ciou_1x_coco.py:5-6: bbox_head.reg_decoded_bbox
+    # + an IoU-family loss_bbox on decoded boxes). None -> the mmdet
+    # default L1 on coder deltas.
+    loss_bbox: Any = None
+    reg_decoded_bbox: bool = False
     rpn_nms_iou: float = 0.7
     rpn_nms_pre: int = 1000
     approx_topk: bool = True  # see DetectorConfig.approx_topk
@@ -476,8 +482,26 @@ def rcnn_loss(cfg: FasterRCNNConfig, cls_logits, reg_pred, targets: RoITargets):
     logp = jax.nn.log_softmax(cls_logits, axis=-1)
     ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     loss_cls = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
-    l1 = jnp.sum(jnp.abs(reg_pred - targets.reg_targets.reshape(-1, reg_pred.shape[-1])), -1)
-    loss_reg = jnp.sum(jnp.where(pos, l1, 0.0)) / jnp.maximum(jnp.sum(pos), 1.0)
+    d = reg_pred.shape[-1]
+    num_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    if cfg.reg_decoded_bbox and cfg.loss_bbox is not None:
+        # decode both sides against the sampled rois; decode(encode(gt))
+        # recovers the matched GT (coder round-trip), so the loss compares
+        # decoded predictions to true boxes — reference reg_decoded_bbox
+        # semantics without widening RoITargets.
+        coder = cfg.rcnn_coder()
+        rois = targets.rois.reshape(-1, d)
+        pred_boxes = coder.decode(rois, reg_pred)
+        tgt_boxes = coder.decode(rois, targets.reg_targets.reshape(-1, d))
+        loss_reg = cfg.loss_bbox(
+            pred_boxes, tgt_boxes,
+            jnp.broadcast_to(pos.astype(jnp.float32)[:, None],
+                             pred_boxes.shape),
+            avg_factor=num_pos)
+    else:
+        l1 = jnp.sum(
+            jnp.abs(reg_pred - targets.reg_targets.reshape(-1, d)), -1)
+        loss_reg = jnp.sum(jnp.where(pos, l1, 0.0)) / num_pos
     return {"loss_cls": loss_cls, "loss_bbox": loss_reg}
 
 

@@ -262,9 +262,12 @@ def fcos_loss(cfg: FCOSConfig, cls_scores, bbox_preds, centernesses,
 
     ctr_denorm = jnp.maximum(jnp.sum(jnp.where(pos, t.centerness, 0.0)), 1e-6)
     d = pred_boxes.shape[-1]
+    # weight as (N, 1): broadcasts over coords for elementwise (L1-family)
+    # losses; reduce_box_weight collapses it back to (N,) for per-box
+    # (IoU-family) losses.
     loss_bbox = cfg.loss_bbox(
         pred_boxes.reshape(-1, d), tgt_boxes.reshape(-1, d),
-        jnp.where(pos, t.centerness, 0.0).reshape(-1),
+        jnp.where(pos, t.centerness, 0.0).reshape(-1)[:, None],
         avg_factor=ctr_denorm)
 
     ctr_bce = _bce_with_logits(ctr, t.centerness)

@@ -81,6 +81,17 @@ class SSDConfig:
     neg_pos_ratio: float = 3.0
     smoothl1_beta: float = 1.0
     loss_bbox: Callable = None
+    # reference semantics (mmdet AnchorHead.loss_single + the shipped
+    # faster_rcnn_r50_fpn_ciou_1x_coco.py pattern): with reg_decoded_bbox
+    # the regression loss sees decoded spherical boxes vs matched GT
+    # through ``loss_bbox`` (Sph2Pob-CIoU etc.); without it, the SSD
+    # default smooth-L1 on coder deltas.
+    reg_decoded_bbox: bool = False
+    # positive-gather cap for decoded-box losses (see
+    # DetectorConfig.loss_pos_topk): SSD has ~30k anchors/img, positives
+    # are O(10^2); the expensive sph2pob loss only sees the top-K anchors
+    # by weight — exact, dropped terms are weight-0.
+    loss_pos_topk: int = 512
     assign_backend: str = "sph2pob_efficient"
     nms_pre: int = 1000
     score_thr: float = 0.02
@@ -162,11 +173,24 @@ def ssd_loss(cfg: SSDConfig, cls_scores, bbox_preds, anchors,
         neg_sel = neg & (rank < num_neg)
 
         loss_cls = jnp.sum(jnp.where(pos | neg_sel, ce, 0.0))
-        diff = jnp.abs(reg_i - targets)
-        sl1 = jnp.where(diff < cfg.smoothl1_beta,
-                        0.5 * diff * diff / cfg.smoothl1_beta,
-                        diff - 0.5 * cfg.smoothl1_beta)
-        loss_bbox = jnp.sum(jnp.where(pos[:, None], sl1, 0.0))
+        if cfg.reg_decoded_bbox:
+            pred_boxes = coder.decode(anchors, reg_i)
+            matched = take_rows(boxes, safe)
+            w = pos.astype(jnp.float32)
+            k = min(cfg.loss_pos_topk, w.shape[0]) if cfg.loss_pos_topk else 0
+            if 0 < k < w.shape[0]:
+                w, idx = jax.lax.top_k(w, k)
+                pred_boxes, matched = pred_boxes[idx], matched[idx]
+            loss_bbox = cfg.loss_bbox(
+                pred_boxes, matched,
+                jnp.broadcast_to(w[:, None], pred_boxes.shape),
+                reduction="sum")
+        else:
+            diff = jnp.abs(reg_i - targets)
+            sl1 = jnp.where(diff < cfg.smoothl1_beta,
+                            0.5 * diff * diff / cfg.smoothl1_beta,
+                            diff - 0.5 * cfg.smoothl1_beta)
+            loss_bbox = jnp.sum(jnp.where(pos[:, None], sl1, 0.0))
         return loss_cls, loss_bbox, num_pos
 
     lc, lb, np_ = jax.vmap(single)(overlaps, gt_boxes, gt_labels, gt_mask,

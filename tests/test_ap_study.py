@@ -46,7 +46,7 @@ def test_quick_study_single_variant(tmp_path):
 
 
 def test_published_report_orderings_hold():
-    path = os.path.join(REPO, "ap_study_report.json")
+    path = os.path.join(REPO, "work_dirs", "ap_study", "report.json")
     if not os.path.exists(path):
         pytest.skip("full study report not published yet")
     with open(path) as f:
@@ -58,3 +58,10 @@ def test_published_report_orderings_hold():
     v = report["variants"]
     assert v["ciou"]["AP50_mean"] > v["l1"]["AP50_mean"]
     assert v["ciou"]["AP50_mean"] > v["assign_sph"]["AP50_mean"]
+    # detector-family axis (reference README.md:53-60: every family
+    # improves L1 -> Sph2Pob-CIoU); present once the multi-family study
+    # has been published
+    for fam, fr in report.get("families", {}).items():
+        fo = fr.get("orderings", {})
+        if "ciou_gt_l1" in fo:
+            assert fo["ciou_gt_l1"], (fam, fr["variants"])

@@ -195,3 +195,40 @@ def test_ohem_train_step_via_family():
     assert np.isfinite(float(total))
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_rcnn_decoded_ciou_loss(setup):
+    """reg_decoded_bbox + IoU-family loss_bbox on the RoI head (reference
+    faster_rcnn_r50_fpn_ciou_1x_coco.py:5-6 pattern): perfect deltas give
+    ~zero regression loss, random deltas give a clearly positive one."""
+    import dataclasses
+
+    from sph_retina_tpu.losses import build_loss
+
+    cfg, model, variables, images = setup
+    dcfg = dataclasses.replace(
+        cfg, reg_decoded_bbox=True,
+        loss_bbox=build_loss({"type": "Sph2PobIoULoss", "mode": "ciou"}))
+    gt_boxes, gt_labels, gt_mask = _gt()
+    (rpn_cls, rpn_reg), feats = model.apply(variables, images)
+    props, _, pvalid = rpn_proposals(cfg, rpn_cls, rpn_reg)
+    t = sample_rois(cfg, jax.random.PRNGKey(0), props, pvalid,
+                    gt_boxes, gt_labels, gt_mask)
+    b, r = t.labels.shape
+    d = t.rois.shape[-1]
+    ncls = cfg.num_classes + 1
+    logits = jnp.zeros((b * r, ncls))
+
+    perfect = rcnn_loss(dcfg, logits, t.reg_targets.reshape(-1, d), t)
+    noisy = rcnn_loss(
+        dcfg, logits,
+        t.reg_targets.reshape(-1, d)
+        + jax.random.normal(jax.random.PRNGKey(1), (b * r, d)), t)
+    assert float(perfect["loss_bbox"]) < 0.05
+    assert float(noisy["loss_bbox"]) > float(perfect["loss_bbox"]) + 0.05
+
+    # gradient flows through the decoded path
+    g = jax.grad(lambda rp: rcnn_loss(dcfg, logits, rp, t)["loss_bbox"])(
+        t.reg_targets.reshape(-1, d) + 0.1)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

@@ -168,3 +168,60 @@ def test_ssd_remat_identical_math():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_ssd_decoded_ciou_loss_and_grads(ssd_setup):
+    """reg_decoded_bbox routes the regression loss through decoded boxes +
+    cfg.loss_bbox (reference faster_rcnn_r50_fpn_ciou_1x_coco.py pattern);
+    gradients must stay finite and differ from the smooth-L1 delta path."""
+    import dataclasses
+
+    from sph_retina_tpu.losses import build_loss
+
+    cfg, model, variables, images = ssd_setup
+    dcfg = dataclasses.replace(
+        cfg, reg_decoded_bbox=True,
+        loss_bbox=build_loss({"type": "Sph2PobIoULoss", "mode": "ciou"}))
+    boxes, labels, mask = _gt()
+    anchors = cfg.flat_anchors()
+
+    def f(params, c):
+        cls, reg = model.apply({"params": params}, images)
+        losses = ssd_loss(c, cls, reg, anchors, boxes, labels, mask)
+        return losses["loss_cls"] + losses["loss_bbox"], losses
+
+    (tot_d, l_d), grads = jax.value_and_grad(f, has_aux=True)(
+        variables["params"], dcfg)
+    (_, l_sl1), _ = jax.value_and_grad(f, has_aux=True)(
+        variables["params"], cfg)
+    assert np.isfinite(float(tot_d))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+    assert float(l_d["loss_bbox"]) != pytest.approx(
+        float(l_sl1["loss_bbox"]))
+
+
+def test_fcos_l1_loss_bbox_variant(fcos_setup):
+    """An L1-family loss_bbox (the ap_study fcos 'l1' variant) must accept
+    the (N, 1) centerness weight and produce finite grads."""
+    import dataclasses
+
+    from sph_retina_tpu.losses import build_loss
+
+    cfg, model, variables, images = fcos_setup
+    lcfg = dataclasses.replace(
+        cfg, loss_bbox=build_loss({"type": "SphL1Loss", "loss_weight": 0.05}))
+    boxes, labels, mask = _gt()
+
+    def f(params):
+        cls, reg, ctr = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            images)
+        losses = fcos_loss(lcfg, cls, reg, ctr, boxes, labels, mask)
+        return sum(losses.values()), losses
+
+    (total, losses), grads = jax.value_and_grad(f, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(total))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))

@@ -56,6 +56,35 @@ VARIANTS = [
     ]),
 ]
 
+# Detector-family axis (reference README.md:53-60: every family improves
+# L1 -> Sph2Pob-CIoU). Each family gets its own tracked spherebench base
+# config whose default IS the ciou variant; `l1` reverts to the family's
+# stock delta/L1 regression. The assignment axis is studied on the
+# retinanet family only (same as the reference's ablation table).
+FAMILY_CONFIGS = {
+    "retinanet": "sph_retinanet_r18_fpn_24e_spherebench.py",
+    "fcos": "sph_fcos_r18_fpn_24e_spherebench.py",
+    "ssd": "sph_ssd_24e_spherebench.py",
+    "faster_rcnn": "sph_faster_rcnn_r18_fpn_24e_spherebench.py",
+}
+FAMILY_VARIANTS = {
+    "retinanet": VARIANTS,
+    # FCOS has no delta parameterization; its L1 baseline regresses decoded
+    # box coordinates (degrees), hence the small loss_weight.
+    "fcos": [
+        ("l1", ["model.loss_bbox={'type': 'SphL1Loss', 'loss_weight': 0.05}"]),
+        ("ciou", []),
+    ],
+    "ssd": [
+        ("l1", ["model.reg_decoded_bbox=False"]),
+        ("ciou", []),
+    ],
+    "faster_rcnn": [
+        ("l1", ["model.reg_decoded_bbox=False"]),
+        ("ciou", []),
+    ],
+}
+
 STRATA = ("polar", "seam", "body")
 
 
@@ -152,6 +181,8 @@ def train_variant(cfg, *, seed, work_dir, max_epochs=None):
 
 def eval_variant(cfg, state, model, det_cfg, family, strata_by_img,
                  backend="unbiased"):
+    import jax
+
     from sph_retina_tpu.engine.builder import build_datasets
     from sph_retina_tpu.engine.evaluator import evaluate_dataset
 
@@ -159,6 +190,7 @@ def eval_variant(cfg, state, model, det_cfg, family, strata_by_img,
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     metrics, arrays = evaluate_dataset(
         model, det_cfg, variables, val_loader, backend=backend,
+        predict=jax.jit(family.predict_fn(model, det_cfg)),
         return_raw=True)
     strat = stratified_metrics(arrays, strata_by_img,
                                cfg["model"]["num_classes"], backend=backend)
@@ -195,15 +227,62 @@ def ensure_dataset(root, *, n_train, n_val, num_classes, img_size, seed,
     return train_ann, val_ann
 
 
-def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
-              device=None, variants=None):
+def _run_variants(cfg_path, variant_list, *, data_overrides, seeds,
+                  max_epochs, out_dir, strata_by_img, prefix=""):
     from sph_retina_tpu.utils.config import apply_overrides, load_config
+
+    results = {}
+    for name, overrides in variant_list:
+        results[name] = {"overrides": overrides, "seeds": {}}
+        for seed in seeds:
+            cfg = apply_overrides(load_config(cfg_path),
+                                  data_overrides + list(overrides))
+            cfg["seed"] = seed
+            wd = os.path.join(out_dir, f"{prefix}{name}_s{seed}")
+            os.makedirs(wd, exist_ok=True)
+            print(f"=== {prefix}{name} seed={seed} -> {wd}")
+            state, model, det_cfg, family, train_s = train_variant(
+                cfg, seed=seed, work_dir=wd, max_epochs=max_epochs)
+            m = eval_variant(cfg, state, model, det_cfg, family,
+                             strata_by_img)
+            m["train_seconds"] = round(train_s, 1)
+            results[name]["seeds"][str(seed)] = m
+            print(f"    AP50={m['AP50']:.4f} mAP={m['mAP']:.4f} "
+                  f"({train_s:.0f}s train)")
+        vals = [s["AP50"] for s in results[name]["seeds"].values()]
+        results[name]["AP50_mean"] = float(np.mean(vals))
+        results[name]["mAP_mean"] = float(np.mean(
+            [s["mAP"] for s in results[name]["seeds"].values()]))
+    return results
+
+
+def _orderings(results):
+    o = {}
+    if "l1" in results and "ciou" in results:
+        o["ciou_gt_l1"] = (results["ciou"]["AP50_mean"]
+                           > results["l1"]["AP50_mean"])
+    if "assign_sph" in results and "ciou" in results:
+        o["sph2pob_assign_gt_sph_assign"] = (
+            results["ciou"]["AP50_mean"]
+            > results["assign_sph"]["AP50_mean"])
+        if "assign_fov" in results:
+            # reference README.md:36-45 full ordering: Sph2Pob > Fov > Sph
+            o["fov_assign_gt_sph_assign"] = (
+                results["assign_fov"]["AP50_mean"]
+                > results["assign_sph"]["AP50_mean"])
+            o["sph2pob_assign_gt_fov_assign"] = (
+                results["ciou"]["AP50_mean"]
+                > results["assign_fov"]["AP50_mean"])
+    return o
+
+
+def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
+              device=None, variants=None, families=("retinanet",)):
     from sph_retina_tpu.utils.device import pin_platform
 
     pin_platform(device)
     os.makedirs(out_dir, exist_ok=True)
-    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
-                            "sph_retinanet_r18_fpn_24e_spherebench.py")
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
 
     if quick:
         gen = dict(n_train=24, n_val=12, num_classes=4, img_size=(128, 256))
@@ -226,54 +305,39 @@ def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
         data_overrides += ["img_size=(128,256)", "data.samples_per_gpu=8",
                            "lr_config.warmup_iters=10"]
 
-    results = {}
-    for name, overrides in (variants or VARIANTS):
-        results[name] = {"overrides": overrides, "seeds": {}}
-        for seed in seeds:
-            cfg = apply_overrides(load_config(cfg_path),
-                                  data_overrides + list(overrides))
-            cfg["seed"] = seed
-            wd = os.path.join(out_dir, f"{name}_s{seed}")
-            os.makedirs(wd, exist_ok=True)
-            print(f"=== {name} seed={seed} -> {wd}")
-            state, model, det_cfg, family, train_s = train_variant(
-                cfg, seed=seed, work_dir=wd, max_epochs=max_epochs)
-            m = eval_variant(cfg, state, model, det_cfg, family,
-                             strata_by_img)
-            m["train_seconds"] = round(train_s, 1)
-            results[name]["seeds"][str(seed)] = m
-            print(f"    AP50={m['AP50']:.4f} mAP={m['mAP']:.4f} "
-                  f"({train_s:.0f}s train)")
-        vals = [s["AP50"] for s in results[name]["seeds"].values()]
-        results[name]["AP50_mean"] = float(np.mean(vals))
-        results[name]["mAP_mean"] = float(np.mean(
-            [s["mAP"] for s in results[name]["seeds"].values()]))
+    fam_reports = {}
+    for fam in families:
+        cfg_path = os.path.join(cfg_dir, FAMILY_CONFIGS[fam])
+        variant_list = (variants if variants is not None
+                        else FAMILY_VARIANTS[fam])
+        prefix = "" if fam == "retinanet" else f"{fam}_"
+        res = _run_variants(cfg_path, variant_list,
+                            data_overrides=data_overrides, seeds=seeds,
+                            max_epochs=max_epochs, out_dir=out_dir,
+                            strata_by_img=strata_by_img, prefix=prefix)
+        fam_reports[fam] = {
+            "base_config": f"configs/{FAMILY_CONFIGS[fam]}",
+            "variants": res,
+            "orderings": _orderings(res),
+        }
 
+    primary = families[0]
     report = {
-        "base_config": "configs/sph_retinanet_r18_fpn_24e_spherebench.py",
+        "base_config": fam_reports[primary]["base_config"],
         "dataset": {"root": data_root, **{k: list(v) if isinstance(v, tuple)
                                           else v for k, v in gen.items()}},
         "seeds": list(seeds),
         "max_epochs": max_epochs
         or 24,
         "eval_backend": "unbiased",
-        "variants": results,
+        # top-level keys mirror the primary (retinanet) family so earlier
+        # consumers of the report keep working; `families` holds every
+        # detector family studied.
+        "variants": fam_reports[primary]["variants"],
+        "families": fam_reports,
     }
-    if all(k in results for k in ("l1", "ciou", "assign_sph")):
-        report["orderings"] = {
-            "ciou_gt_l1": results["ciou"]["AP50_mean"]
-            > results["l1"]["AP50_mean"],
-            "sph2pob_assign_gt_sph_assign": results["ciou"]["AP50_mean"]
-            > results["assign_sph"]["AP50_mean"],
-        }
-        if "assign_fov" in results:
-            # reference README.md:36-45 full ordering: Sph2Pob > Fov > Sph
-            report["orderings"]["fov_assign_gt_sph_assign"] = (
-                results["assign_fov"]["AP50_mean"]
-                > results["assign_sph"]["AP50_mean"])
-            report["orderings"]["sph2pob_assign_gt_fov_assign"] = (
-                results["ciou"]["AP50_mean"]
-                > results["assign_fov"]["AP50_mean"])
+    if fam_reports[primary]["orderings"]:
+        report["orderings"] = fam_reports[primary]["orderings"]
     path = os.path.join(out_dir, "report.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
@@ -282,24 +346,12 @@ def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
     return report
 
 
-def write_markdown(report, path):
-    r = report["variants"]
+def _variant_table(results):
     lines = [
-        "# AP-parity study: sphere-bench ablations",
-        "",
-        "Offline directional reproduction of the reference paper's 360-Indoor"
-        " ablations (/root/reference/README.md:36-45,57-58) on the controlled"
-        " synthetic ERP benchmark (`tools/synth_dataset.py`); real data is"
-        " environment-blocked (zero egress).",
-        "",
-        f"Base config: `{report['base_config']}` — seeds {report['seeds']},"
-        f" {report['max_epochs']} epochs each, unbiased-oracle AP matching.",
-        f"Dataset: {report['dataset']}",
-        "",
         "| variant | overrides | AP50 | mAP | polar AP50 | seam AP50 | body AP50 |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name, v in r.items():
+    for name, v in results.items():
         s0 = next(iter(v["seeds"].values()))
         st = s0.get("strata", {})
 
@@ -312,24 +364,58 @@ def write_markdown(report, path):
             f"| {f(st.get('polar', {}).get('AP50'))} "
             f"| {f(st.get('seam', {}).get('AP50'))} "
             f"| {f(st.get('body', {}).get('AP50'))} |")
-    if "orderings" in report:
-        o = report["orderings"]
+    return lines
+
+
+def _ordering_lines(o):
+    def verdict(k):
+        return "reproduced" if o[k] else "NOT reproduced"
+
+    lines = []
+    if "ciou_gt_l1" in o:
+        lines.append(f"- Sph2Pob-CIoU > L1 (reference README.md:53-60): "
+                     f"**{verdict('ciou_gt_l1')}**")
+    if "sph2pob_assign_gt_sph_assign" in o:
+        lines.append(f"- sph2pob assignment > sph assignment "
+                     f"(README.md:36-45): "
+                     f"**{verdict('sph2pob_assign_gt_sph_assign')}**")
+    if "sph2pob_assign_gt_fov_assign" in o:
         lines += [
-            "",
-            "## Paper orderings",
-            "",
-            f"- Sph2Pob-CIoU > L1 (reference README.md:57-58): "
-            f"**{'reproduced' if o['ciou_gt_l1'] else 'NOT reproduced'}**",
-            f"- sph2pob assignment > sph assignment (README.md:36-45): "
-            f"**{'reproduced' if o['sph2pob_assign_gt_sph_assign'] else 'NOT reproduced'}**",
+            f"- sph2pob assignment > fov assignment (README.md:36-45): "
+            f"**{verdict('sph2pob_assign_gt_fov_assign')}**",
+            f"- fov assignment > sph assignment (README.md:36-45): "
+            f"**{verdict('fov_assign_gt_sph_assign')}**",
         ]
-        if "sph2pob_assign_gt_fov_assign" in o:
-            lines += [
-                f"- sph2pob assignment > fov assignment (README.md:36-45): "
-                f"**{'reproduced' if o['sph2pob_assign_gt_fov_assign'] else 'NOT reproduced'}**",
-                f"- fov assignment > sph assignment (README.md:36-45): "
-                f"**{'reproduced' if o['fov_assign_gt_sph_assign'] else 'NOT reproduced'}**",
-            ]
+    return lines
+
+
+def write_markdown(report, path):
+    lines = [
+        "# AP-parity study: sphere-bench ablations",
+        "",
+        "Offline directional reproduction of the reference paper's 360-Indoor"
+        " ablations (/root/reference/README.md:36-45,53-60) on the controlled"
+        " synthetic ERP benchmark (`tools/synth_dataset.py`); real data is"
+        " environment-blocked (zero egress).",
+        "",
+        f"Base config: `{report['base_config']}` — seeds {report['seeds']},"
+        f" {report['max_epochs']} epochs each, unbiased-oracle AP matching.",
+        f"Dataset: {report['dataset']}",
+        "",
+    ]
+    lines += _variant_table(report["variants"])
+    if "orderings" in report:
+        lines += ["", "## Paper orderings", ""]
+        lines += _ordering_lines(report["orderings"])
+    for fam, fr in report.get("families", {}).items():
+        if fr["variants"] == report["variants"]:
+            continue  # primary family already rendered above
+        lines += ["", f"## Detector family: {fam}",
+                  f"Base config: `{fr['base_config']}`", ""]
+        lines += _variant_table(fr["variants"])
+        if fr.get("orderings"):
+            lines += [""]
+            lines += _ordering_lines(fr["orderings"])
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
@@ -344,10 +430,14 @@ def main():
                    help="tiny dataset + 2 epochs (CI smoke; numbers are "
                         "not meaningful, only the plumbing)")
     p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"])
+    p.add_argument("--families", nargs="*", default=["retinanet"],
+                   choices=sorted(FAMILY_CONFIGS),
+                   help="detector families to study (reference "
+                        "README.md:53-60 rows)")
     args = p.parse_args()
     run_study(data_root=args.data_root, out_dir=args.out, seeds=args.seeds,
               max_epochs=args.max_epochs, quick=args.quick,
-              device=args.device)
+              device=args.device, families=tuple(args.families))
 
 
 if __name__ == "__main__":
