@@ -65,3 +65,42 @@ def test_published_report_orderings_hold():
         fo = fr.get("orderings", {})
         if "ciou_gt_l1" in fo:
             assert fo["ciou_gt_l1"], (fam, fr["variants"])
+
+
+def test_merge_reports_unions_seeds_and_recomputes():
+    from ap_study import merge_reports
+
+    def mk(seed_vals, overrides=()):
+        return {"overrides": list(overrides),
+                "seeds": {str(s): {"AP50": v, "mAP": v / 2}
+                          for s, v in seed_vals.items()},
+                "AP50_mean": 0.0, "mAP_mean": 0.0}
+
+    base = {
+        "base_config": "cfg.py",
+        "variants": {"l1": mk({0: 0.5}), "ciou": mk({0: 0.45})},
+        "orderings": {"ciou_gt_l1": False},
+        "seeds": [0],
+    }
+    new = {
+        "base_config": "cfg.py",
+        "variants": {"l1": mk({1: 0.2, 2: 0.2}),
+                     "ciou": mk({1: 0.6, 2: 0.6})},
+        "families": {"retinanet": {
+            "base_config": "cfg.py",
+            "variants": {"l1": mk({1: 0.2, 2: 0.2}),
+                         "ciou": mk({1: 0.6, 2: 0.6})},
+            "orderings": {}}},
+        "seeds": [1, 2],
+    }
+    merged = merge_reports(base, new)
+    v = merged["families"]["retinanet"]["variants"]
+    assert set(v["l1"]["seeds"]) == {"0", "1", "2"}
+    assert v["l1"]["AP50_mean"] == pytest.approx((0.5 + 0.2 + 0.2) / 3)
+    assert v["ciou"]["AP50_mean"] == pytest.approx((0.45 + 0.6 + 0.6) / 3)
+    # orderings recomputed over the union: ciou mean 0.55 > l1 mean 0.30
+    assert merged["families"]["retinanet"]["orderings"]["ciou_gt_l1"]
+    assert merged["orderings"]["ciou_gt_l1"]
+    assert merged["seeds"] == [0, 1, 2]
+    # top-level mirror points at the merged primary family
+    assert merged["variants"] is merged["families"]["retinanet"]["variants"]

@@ -122,3 +122,31 @@ def test_loader_producer_errors_propagate(tmp_path):
                         batch_size=2, num_workers=2, seed=0)
     with pytest.raises(FileNotFoundError):
         next(iter(loader.epoch(0)))
+
+
+def test_ensure_dataset_regenerates_interrupted_generation(tmp_path):
+    """A partially-generated dataset (killed mid-write: annotations exist,
+    trailing images missing) must be regenerated, not silently reused —
+    the check is on the LAST image of each split."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from ap_study import ensure_dataset
+
+    root = str(tmp_path / "bench")
+    kw = dict(n_train=6, n_val=3, num_classes=3, img_size=(64, 128), seed=0)
+    ensure_dataset(root, **kw)
+    last = os.path.join(root, "images", "train_00006.png")
+    assert os.path.exists(last)
+
+    # simulate an interrupted generation: last train image missing
+    os.remove(last)
+    ensure_dataset(root, **kw)
+    assert os.path.exists(last)
+
+    # fully present dataset is NOT regenerated (mtime unchanged)
+    mtime = os.path.getmtime(last)
+    ensure_dataset(root, **kw)
+    assert os.path.getmtime(last) == mtime

@@ -54,6 +54,19 @@ VARIANTS = [
     ("assign_fov", [
         "train_cfg.assigner.backend=fov",
     ]),
+    # Full Kent pipeline (the fork's kent_retinanet config: KLD-IoU
+    # assignment + Kent KLD loss on decoded boxes) — the fork itself never
+    # published Kent AP numbers; this variant demonstrates the path trains
+    # end to end on a benchmark.
+    # Kent KLD magnitudes are much larger than IoU losses and the fork
+    # pairs them with tiny batches (samples_per_gpu=1); at this study's
+    # B=8 the base lr diverges, so the variant runs at lr/4 with a small
+    # loss weight.
+    ("kent", [
+        "model.loss_bbox={'type': 'KentLoss', 'loss_weight': 0.1}",
+        "train_cfg.assigner.backend=kent",
+        "optimizer.lr=0.0025",
+    ]),
 ]
 
 # Detector-family axis (reference README.md:53-60: every family improves
@@ -66,6 +79,10 @@ FAMILY_CONFIGS = {
     "fcos": "sph_fcos_r18_fpn_24e_spherebench.py",
     "ssd": "sph_ssd_24e_spherebench.py",
     "faster_rcnn": "sph_faster_rcnn_r18_fpn_24e_spherebench.py",
+    # RBFoV (box_version=5): run with --box-version 5 and a separate
+    # --data-root/--out so the rotated dataset/report live alongside the
+    # BFoV ones.
+    "rbfov": "sph_rotated_retinanet_r18_24e_spherebench.py",
 }
 FAMILY_VARIANTS = {
     "retinanet": VARIANTS,
@@ -81,6 +98,13 @@ FAMILY_VARIANTS = {
     ],
     "faster_rcnn": [
         ("l1", ["model.reg_decoded_bbox=False"]),
+        ("ciou", []),
+    ],
+    "rbfov": [
+        ("l1", [
+            "model.reg_decoded_bbox=False",
+            "model.loss_bbox={'type': 'SphL1Loss', 'loss_weight': 1.0}",
+        ]),
         ("ciou", []),
     ],
 }
@@ -154,7 +178,11 @@ def train_variant(cfg, *, seed, work_dir, max_epochs=None):
 
     rng = jax.random.PRNGKey(seed)
     h, w = cfg.get("img_size", (256, 512))
-    variables0 = family.init(model, rng, jnp.zeros((1, h, w, 3), jnp.float32))
+    # jit the init: eager init is hundreds of small ops, each a host->device
+    # round-trip over the tunnel (minutes per variant); one compiled program
+    # brings it to seconds.
+    variables0 = jax.jit(lambda r, x: family.init(model, r, x))(
+        rng, jnp.zeros((1, h, w, 3), jnp.float32))
     state = TrainState(jnp.zeros((), jnp.int32), variables0["params"],
                        variables0.get("batch_stats", {}),
                        tx.init(variables0["params"]))
@@ -206,24 +234,28 @@ def load_strata(ann_file):
 
 
 def ensure_dataset(root, *, n_train, n_val, num_classes, img_size, seed,
-                   regen=False):
+                   box_version=4, regen=False):
     from synth_dataset import write_sphere_bench
 
     train_ann = os.path.join(root, "annotations", "instances_train.json")
     val_ann = os.path.join(root, "annotations", "instances_val.json")
     # Images are regenerable (fixed seed) and intentionally untracked; a fresh
-    # clone has the annotation JSONs but no PNGs — regenerate in that case too.
-    first_img = os.path.join(root, "images", "train_00001.png")
+    # clone has the annotation JSONs but no PNGs — regenerate then, and also
+    # when a previous generation was interrupted (check the LAST image of
+    # each split, not the first).
+    last_imgs = [os.path.join(root, "images", f"train_{n_train:05d}.png"),
+                 os.path.join(root, "images", f"val_{n_val:05d}.png")]
     if (regen or not (os.path.exists(train_ann) and os.path.exists(val_ann))
-            or not os.path.exists(first_img)):
+            or not all(os.path.exists(p) for p in last_imgs)):
         print(f"generating sphere-bench at {root} "
-              f"({n_train}+{n_val} images, {num_classes} classes)")
+              f"({n_train}+{n_val} images, {num_classes} classes, "
+              f"box_version {box_version})")
         write_sphere_bench(root, split="train", n_images=n_train,
                            num_classes=num_classes, img_size=img_size,
-                           seed=seed)
+                           box_version=box_version, seed=seed)
         write_sphere_bench(root, split="val", n_images=n_val,
                            num_classes=num_classes, img_size=img_size,
-                           seed=seed + 10_000)
+                           box_version=box_version, seed=seed + 10_000)
     return train_ann, val_ann
 
 
@@ -241,22 +273,33 @@ def _run_variants(cfg_path, variant_list, *, data_overrides, seeds,
             wd = os.path.join(out_dir, f"{prefix}{name}_s{seed}")
             os.makedirs(wd, exist_ok=True)
             print(f"=== {prefix}{name} seed={seed} -> {wd}")
-            state, model, det_cfg, family, train_s = train_variant(
-                cfg, seed=seed, work_dir=wd, max_epochs=max_epochs)
-            m = eval_variant(cfg, state, model, det_cfg, family,
-                             strata_by_img)
+            try:
+                state, model, det_cfg, family, train_s = train_variant(
+                    cfg, seed=seed, work_dir=wd, max_epochs=max_epochs)
+                m = eval_variant(cfg, state, model, det_cfg, family,
+                                 strata_by_img)
+            except FloatingPointError as e:
+                # one diverging variant (NaN-loss hook) must not kill the
+                # whole study — record it and keep going
+                print(f"    DIVERGED: {e}")
+                results[name]["seeds"][str(seed)] = {"error": str(e)}
+                continue
             m["train_seconds"] = round(train_s, 1)
             results[name]["seeds"][str(seed)] = m
             print(f"    AP50={m['AP50']:.4f} mAP={m['mAP']:.4f} "
                   f"({train_s:.0f}s train)")
-        vals = [s["AP50"] for s in results[name]["seeds"].values()]
-        results[name]["AP50_mean"] = float(np.mean(vals))
+        ok = [s for s in results[name]["seeds"].values() if "AP50" in s]
+        results[name]["AP50_mean"] = float(np.mean(
+            [s["AP50"] for s in ok])) if ok else None
         results[name]["mAP_mean"] = float(np.mean(
-            [s["mAP"] for s in results[name]["seeds"].values()]))
+            [s["mAP"] for s in ok])) if ok else None
     return results
 
 
 def _orderings(results):
+    # variants whose every seed diverged have AP50_mean None — no ordering
+    results = {k: v for k, v in results.items()
+               if v.get("AP50_mean") is not None}
     o = {}
     if "l1" in results and "ciou" in results:
         o["ciou_gt_l1"] = (results["ciou"]["AP50_mean"]
@@ -276,12 +319,53 @@ def _orderings(results):
     return o
 
 
+def merge_reports(base: dict, new: dict) -> dict:
+    """Union of seeds per family/variant (new wins on duplicates); means and
+    orderings recomputed from the merged seed sets. Lets follow-up seed
+    sweeps fold into a published report instead of replacing it."""
+    out = json.loads(json.dumps(new))
+    base_fams = base.get("families") or {
+        "retinanet": {"base_config": base["base_config"],
+                      "variants": base["variants"],
+                      "orderings": base.get("orderings", {})}}
+    fams = out.setdefault("families", {})
+    for fam, bfr in base_fams.items():
+        fr = fams.setdefault(fam, {"base_config": bfr["base_config"],
+                                   "variants": {}, "orderings": {}})
+        for name, bv in bfr["variants"].items():
+            v = fr["variants"].setdefault(
+                name, {"overrides": bv["overrides"], "seeds": {}})
+            for s, m in bv["seeds"].items():
+                v["seeds"].setdefault(s, m)
+    for fr in fams.values():
+        for v in fr["variants"].values():
+            ok = [m for m in v["seeds"].values() if "AP50" in m]
+            v["AP50_mean"] = float(np.mean(
+                [m["AP50"] for m in ok])) if ok else None
+            v["mAP_mean"] = float(np.mean(
+                [m["mAP"] for m in ok])) if ok else None
+        fr["orderings"] = _orderings(fr["variants"])
+    primary = "retinanet" if "retinanet" in fams else next(iter(fams))
+    out["variants"] = fams[primary]["variants"]
+    if fams[primary]["orderings"]:
+        out["orderings"] = fams[primary]["orderings"]
+    out["seeds"] = sorted({int(s) for f in fams.values()
+                           for v in f["variants"].values()
+                           for s in v["seeds"]})
+    return out
+
+
 def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
-              device=None, variants=None, families=("retinanet",)):
+              device=None, variants=None, families=("retinanet",),
+              box_version=4, merge_with=None):
     from sph_retina_tpu.utils.device import pin_platform
 
     pin_platform(device)
     os.makedirs(out_dir, exist_ok=True)
+    base_report = None
+    if merge_with and os.path.exists(merge_with):
+        with open(merge_with) as f:
+            base_report = json.load(f)
     cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
 
     if quick:
@@ -290,7 +374,8 @@ def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
     else:
         gen = dict(n_train=500, n_val=100, num_classes=12,
                    img_size=(256, 512))
-    _, val_ann = ensure_dataset(data_root, seed=0, **gen)
+    _, val_ann = ensure_dataset(data_root, seed=0, box_version=box_version,
+                                **gen)
     strata_by_img = load_strata(val_ann)
 
     data_overrides = [
@@ -305,7 +390,32 @@ def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
         data_overrides += ["img_size=(128,256)", "data.samples_per_gpu=8",
                            "lr_config.warmup_iters=10"]
 
+    def assemble(fam_reports):
+        primary = ("retinanet" if "retinanet" in fam_reports
+                   else next(iter(fam_reports)))
+        report = {
+            "base_config": fam_reports[primary]["base_config"],
+            "dataset": {"root": data_root, "box_version": box_version,
+                        **{k: list(v) if isinstance(v, tuple)
+                           else v for k, v in gen.items()}},
+            "seeds": list(seeds),
+            "max_epochs": max_epochs or 24,
+            "eval_backend": "unbiased",
+            # top-level keys mirror the primary (retinanet) family so
+            # earlier consumers of the report keep working; `families`
+            # holds every detector family studied.
+            "variants": fam_reports[primary]["variants"],
+            "families": fam_reports,
+        }
+        if fam_reports[primary]["orderings"]:
+            report["orderings"] = fam_reports[primary]["orderings"]
+        if base_report is not None:
+            report = merge_reports(base_report, report)
+        return report
+
+    path = os.path.join(out_dir, "report.json")
     fam_reports = {}
+    report = None
     for fam in families:
         cfg_path = os.path.join(cfg_dir, FAMILY_CONFIGS[fam])
         variant_list = (variants if variants is not None
@@ -320,29 +430,13 @@ def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
             "variants": res,
             "orderings": _orderings(res),
         }
-
-    primary = families[0]
-    report = {
-        "base_config": fam_reports[primary]["base_config"],
-        "dataset": {"root": data_root, **{k: list(v) if isinstance(v, tuple)
-                                          else v for k, v in gen.items()}},
-        "seeds": list(seeds),
-        "max_epochs": max_epochs
-        or 24,
-        "eval_backend": "unbiased",
-        # top-level keys mirror the primary (retinanet) family so earlier
-        # consumers of the report keep working; `families` holds every
-        # detector family studied.
-        "variants": fam_reports[primary]["variants"],
-        "families": fam_reports,
-    }
-    if fam_reports[primary]["orderings"]:
-        report["orderings"] = fam_reports[primary]["orderings"]
-    path = os.path.join(out_dir, "report.json")
-    with open(path, "w") as f:
-        json.dump(report, f, indent=1)
-    write_markdown(report, os.path.join(out_dir, "AP_STUDY.md"))
-    print(f"report: {path}")
+        # checkpoint the report after every family so an interrupted
+        # multi-hour study still leaves its completed families on disk
+        report = assemble(fam_reports)
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1)
+        write_markdown(report, os.path.join(out_dir, "AP_STUDY.md"))
+        print(f"report checkpoint ({fam}): {path}")
     return report
 
 
@@ -352,12 +446,16 @@ def _variant_table(results):
         "|---|---|---|---|---|---|---|",
     ]
     for name, v in results.items():
-        s0 = next(iter(v["seeds"].values()))
-        st = s0.get("strata", {})
-
         def f(x):
             return "-" if x is None else f"{x:.3f}"
 
+        if v.get("AP50_mean") is None:
+            err = next(iter(v["seeds"].values())).get("error", "diverged")
+            lines.append(f"| {name} | `{'; '.join(v['overrides'])}` "
+                         f"| - | - | ({err}) | - | - |")
+            continue
+        s0 = next(s for s in v["seeds"].values() if "AP50" in s)
+        st = s0.get("strata", {})
         lines.append(
             f"| {name} | `{'; '.join(v['overrides']) or '(base)'}` "
             f"| {v['AP50_mean']:.3f} | {v['mAP_mean']:.3f} "
@@ -434,10 +532,17 @@ def main():
                    choices=sorted(FAMILY_CONFIGS),
                    help="detector families to study (reference "
                         "README.md:53-60 rows)")
+    p.add_argument("--box-version", type=int, default=4, choices=(4, 5),
+                   help="5 generates an RBFoV dataset (use with the rbfov "
+                        "family and a separate --data-root/--out)")
+    p.add_argument("--merge-with", default=None,
+                   help="existing report.json to merge seeds/families into "
+                        "(means + orderings recomputed over the union)")
     args = p.parse_args()
     run_study(data_root=args.data_root, out_dir=args.out, seeds=args.seeds,
               max_epochs=args.max_epochs, quick=args.quick,
-              device=args.device, families=tuple(args.families))
+              device=args.device, families=tuple(args.families),
+              box_version=args.box_version, merge_with=args.merge_with)
 
 
 if __name__ == "__main__":
