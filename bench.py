@@ -230,14 +230,21 @@ def bench_kent(batch=8, h=512, w=1024, n=131072):
     from sph_retina_tpu.models.single_stage import retina_loss
     from sph_retina_tpu.utils.config import load_config
 
+    # fork-parity preset: Kent-KLD IoU drives ASSIGNMENT (no-grad), the
+    # regression loss is delta-L1 on 5-dof KentCoder deltas — exactly the
+    # fork's kent training path (base_kent_retinanet_r50_fpn.py:45; its
+    # KentLoss exists only as a loss-registry entry there too). The
+    # gradient-through-KLD variant is configs/sph_kent_retinanet_kld_*.py
+    # (known-unstable, see CAPABILITIES.md).
     file_cfg = load_config("configs/sph_kent_retinanet_r50_fpn_120e_indoor360.py")
     nc = file_cfg["model"]["num_classes"]
+    bv = file_cfg["model"].get("box_version", 4)
     model, cfg = get_family(file_cfg).build(file_cfg)
     tx = build_tx(file_cfg, 100)
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(rng, (batch, h, w, 3), jnp.float32)
     max_gt = 16
-    boxes = jnp.stack([jnp.asarray(generate_boxes(max_gt, 4, seed=i))
+    boxes = jnp.stack([jnp.asarray(generate_boxes(max_gt, bv, seed=i))
                        for i in range(batch)])
     train_batch = {
         "images": images,
@@ -256,7 +263,11 @@ def bench_kent(batch=8, h=512, w=1024, n=131072):
             return s2, acc + met["loss"]
         return jax.lax.fori_loop(0, niter, body, (st, 0.0))[1]
 
-    float(many(state, 1))
+    # loss stays finite across real update steps, so the timing below can
+    # never be measuring NaN arithmetic (sph_kent_loss degenerate-box
+    # guards; see iou/kent.py)
+    probe = float(many(state, 3))
+    out["kent_train_loss_finite"] = bool(np.isfinite(probe))
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter(); float(many(state, 2)); ts = time.perf_counter() - t0

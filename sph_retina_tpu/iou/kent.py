@@ -71,8 +71,14 @@ def _sample_box_points(boxes_rad):
     """
     lon = boxes_rad[..., 0] - jnp.pi          # phi00
     lat = boxes_rad[..., 1] - jnp.pi / 2.0    # theta00
-    fov_h = boxes_rad[..., 2]
-    fov_v = boxes_rad[..., 3]
+    # Keep the FoVs strictly inside (0, pi): tan(fov/2) hits its pole at
+    # fov = pi and its zero at fov = 0, and coder-decoded boxes land
+    # exactly on the 180-deg clamp during early training — unguarded,
+    # both extremes NaN the moment frame AND its gradient (the step-2 NaN
+    # divergence of Kent training; the valid-box range is open anyway,
+    # box_formator.py:119-127).
+    fov_h = jnp.clip(boxes_rad[..., 2], 1e-3, jnp.pi - 1e-2)
+    fov_v = jnp.clip(boxes_rad[..., 3], 1e-3, jnp.pi - 1e-2)
 
     r = 11
     idx = np.arange(-(r - 1) // 2, (r + 1) // 2, dtype=np.float32)
@@ -266,7 +272,9 @@ def kent_kld(kent_a: jax.Array, kent_b: jax.Array) -> jax.Array:
 
 
 def kent_iou_from_params(kent_a, kent_b):
-    kld = jnp.maximum(kent_kld(kent_a, kent_b), 0.0)
+    # the floor keeps sqrt off 0, where its gradient is infinite (identical
+    # pairs otherwise NaN the backward pass); value shift < 1e-6
+    kld = jnp.maximum(kent_kld(kent_a, kent_b), 1e-12)
     return 1.0 / (1.0 + jnp.sqrt(kld))
 
 
@@ -277,17 +285,33 @@ def kent_iou_elementwise(boxes1_deg: jax.Array, boxes2_deg: jax.Array):
 
 
 def kent_loss_terms(kent_a, kent_b, const: float = 2.0):
-    """1 - 1/(const + sqrt(KLD)) (kent_iou_calculator.py:155-157)."""
-    kld = jnp.maximum(kent_kld(kent_a, kent_b), 0.0)
+    """1 - 1/(const + sqrt(KLD)) (kent_iou_calculator.py:155-157).
+
+    KLD floored at 1e-12, not 0: sqrt has an infinite gradient at 0 and
+    identical pred/target rows (exact-fit positives, masked padding) are
+    reachable in training."""
+    kld = jnp.maximum(kent_kld(kent_a, kent_b), 1e-12)
     return 1.0 - 1.0 / (const + jnp.sqrt(kld))
 
 
 def sph_kent_loss(pred, target, weight=None, *, const: float = 2.0,
                   reduction: str = "mean", avg_factor=None,
                   loss_weight: float = 1.0):
-    """Kent KLD loss over spherical degree boxes (loss-registry entry)."""
+    """Kent KLD loss over spherical degree boxes (loss-registry entry).
+
+    Zero-weight rows (padded/negative anchors in the positive-gather
+    batch) are replaced by a benign box BEFORE deg2kent: `0 * nan = nan`,
+    so masking the output would not stop a degenerate garbage row from
+    poisoning the reduction (and `where` would still leak NaN through the
+    gradient of the untaken branch)."""
     from ..losses.utils import reduce_box_weight, weight_reduce_loss
 
-    loss = kent_loss_terms(deg2kent(pred), deg2kent(target), const)
     weight = reduce_box_weight(weight)
+    if weight is not None:
+        safe = jnp.zeros_like(pred).at[..., :4].set(
+            jnp.asarray([180.0, 90.0, 30.0, 30.0], pred.dtype))
+        live = (weight > 0)[..., None]
+        pred = jnp.where(live, pred, safe)
+        target = jnp.where(live, target, safe)
+    loss = kent_loss_terms(deg2kent(pred), deg2kent(target), const)
     return loss_weight * weight_reduce_loss(loss, weight, reduction, avg_factor)

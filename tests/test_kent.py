@@ -182,3 +182,38 @@ def test_kent_backend_sees_rbfov_rotation():
     # equal rotation on both sides is still the identical pair
     same = float(sph_overlaps(box(45.0), box(45.0), "kent", is_aligned=True)[0])
     assert same > 0.999
+
+
+def test_kent_loss_degenerate_boxes_finite_grads():
+    """Coder-decoded boxes can land exactly on the 180-deg fov clamp and
+    positive-gather batches carry zero-weight garbage rows; both used to
+    NaN the backward pass (tan pole in the tangent grid at fov=pi,
+    0*nan through the weighted reduction, sqrt'(0) at KLD=0). The round-4
+    guards keep loss AND gradients finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sph_retina_tpu.iou.kent import sph_kent_loss
+
+    pred = jnp.asarray([
+        [180.0, 90.0, 180.0, 180.0],   # fov at the clamp boundary
+        [10.0, 1.0, 0.0, 0.0],         # degenerate zero-fov
+        [350.0, 179.0, 30.0, 40.0],    # normal
+        [90.0, 90.0, 20.0, 20.0],      # identical to target (KLD=0)
+    ])
+    target = jnp.asarray([
+        [182.0, 88.0, 40.0, 40.0],
+        [12.0, 2.0, 25.0, 25.0],
+        [351.0, 178.0, 32.0, 38.0],
+        [90.0, 90.0, 20.0, 20.0],
+    ])
+    # last row zero-weighted: it must not poison the reduction either way
+    w = jnp.asarray([1.0, 0.0, 1.0, 1.0])
+
+    val, grad = jax.value_and_grad(
+        lambda p: sph_kent_loss(p, target, w, avg_factor=3.0))(pred)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+    # zero-weight row contributes no gradient
+    assert float(jnp.abs(grad[1]).sum()) == 0.0

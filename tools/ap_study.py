@@ -87,9 +87,14 @@ FAMILY_CONFIGS = {
 FAMILY_VARIANTS = {
     "retinanet": VARIANTS,
     # FCOS has no delta parameterization; its L1 baseline regresses decoded
-    # box coordinates (degrees), hence the small loss_weight.
+    # box coordinates (degrees). Smooth-L1 + reduced lr: plain L1 on
+    # exp-decoded distances diverges (unbounded early boxes).
     "fcos": [
-        ("l1", ["model.loss_bbox={'type': 'SphL1Loss', 'loss_weight': 0.05}"]),
+        ("l1", [
+            "model.loss_bbox={'type': 'SmoothL1Loss', 'beta': 5.0, "
+            "'loss_weight': 0.05}",
+            "optimizer.lr=0.005",
+        ]),
         ("ciou", []),
     ],
     "ssd": [
