@@ -17,6 +17,7 @@ estimates derived in BASELINE.md (train 26 img/s, inference 70 img/s).
 """
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -267,7 +268,7 @@ def bench_kent(batch=8, h=512, w=1024, n=131072):
     # never be measuring NaN arithmetic (sph_kent_loss degenerate-box
     # guards; see iou/kent.py)
     probe = float(many(state, 3))
-    out["kent_train_loss_finite"] = bool(np.isfinite(probe))
+    out["kent_train_loss_finite"] = bool(math.isfinite(probe))
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter(); float(many(state, 2)); ts = time.perf_counter() - t0
