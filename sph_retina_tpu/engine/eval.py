@@ -329,10 +329,16 @@ def eval_voc_map(
                                     np.zeros((0, gt.shape[-1] if gt.size
                                               else 4), np.float32)))
             ig = ig[ig_labels == c] if len(ig_labels) else ig[:0]
+            # Normalize both sides to (n, D) before concatenating: an empty
+            # ann['boxes'] list arrives as shape (0,), which np.concatenate
+            # rejects against same-class (k, D) ignore boxes (advisor r4).
+            dim = (gt.shape[-1] if gt.ndim == 2 and gt.size else
+                   (ig.shape[-1] if ig.ndim == 2 and ig.size else 4))
+            gt = gt.reshape(-1, dim).astype(np.float32)
+            ig = ig.reshape(-1, dim).astype(np.float32)
             num_gts += len(gt)
             num_dets += len(det_idx)
-            stacked = (np.concatenate([gt, ig])
-                       if len(gt) or len(ig) else gt)
+            stacked = np.concatenate([gt, ig])
             ignore_inds = np.concatenate(
                 [np.zeros(len(gt), bool), np.ones(len(ig), bool)])
             ious = _pairwise_iou_np(det_boxes, stacked, backend)

@@ -212,6 +212,17 @@ def maybe_normalize_images(images: jax.Array) -> jax.Array:
     return (images.astype(jnp.float32) - mean) / std
 
 
+def total_loss(losses: dict):
+    """Sum a detector loss dict into the optimized scalar.
+
+    Keys prefixed ``metric_`` are observability side-channels (e.g.
+    ``metric_pos_dropped`` — positives truncated by the loss_pos_topk
+    gather): they ride the metrics dict into the JSONL/TB logs but carry
+    no gradient and must not enter the optimized total.
+    """
+    return sum(v for k, v in losses.items() if not k.startswith("metric_"))
+
+
 def make_train_step(model, cfg, tx, loss_fn: Callable):
     """Build the jitted DP train step.
 
@@ -232,7 +243,7 @@ def make_train_step(model, cfg, tx, loss_fn: Callable):
                 cfg, cls_scores, bbox_preds, anchors,
                 batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
             )
-            total = sum(losses.values())
+            total = total_loss(losses)
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(

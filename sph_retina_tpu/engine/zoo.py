@@ -23,7 +23,7 @@ from ..models import faster_rcnn as frcnn
 from ..models.fcos import fcos_config, fcos_loss, fcos_predict
 from ..models.single_stage import retina_loss, retina_predict
 from ..models.ssd import ssd_config, ssd_loss, ssd_predict
-from .train import TrainState, maybe_normalize_images
+from .train import TrainState, maybe_normalize_images, total_loss
 
 
 def _common(cfg_dict):
@@ -77,7 +77,7 @@ class RetinaNetFamily:
             cls, reg = model.apply(variables, batch["images"])
             losses = retina_loss(cfg, cls, reg, anchors, batch["gt_boxes"],
                                  batch["gt_labels"], batch["gt_mask"])
-            return sum(losses.values()), losses
+            return total_loss(losses), losses
 
         return f
 
@@ -117,7 +117,7 @@ class FCOSFamily:
             cls, reg, ctr = model.apply(variables, batch["images"])
             losses = fcos_loss(cfg, cls, reg, ctr, batch["gt_boxes"],
                                batch["gt_labels"], batch["gt_mask"])
-            return sum(losses.values()), losses
+            return total_loss(losses), losses
 
         return f
 
@@ -156,7 +156,7 @@ class SSDFamily:
             cls, reg = model.apply(variables, batch["images"])
             losses = ssd_loss(cfg, cls, reg, anchors, batch["gt_boxes"],
                               batch["gt_labels"], batch["gt_mask"])
-            return sum(losses.values()), losses
+            return total_loss(losses), losses
 
         return f
 
@@ -227,7 +227,7 @@ class FasterRCNNFamily:
                 variables, rf.reshape(-1, 7, 7, rf.shape[-1]),
                 method=SphFasterRCNN.roi)
             losses.update(frcnn.rcnn_loss(cfg, cls, reg, t))
-            return sum(losses.values()), losses
+            return total_loss(losses), losses
 
         return f
 

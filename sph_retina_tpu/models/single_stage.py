@@ -244,18 +244,26 @@ def retina_loss(
         targets = t.bbox_targets.reshape(-1, d)
         weights = t.bbox_weights.reshape(-1)
         k = min(b * cfg.loss_pos_topk, b * n) if cfg.loss_pos_topk else 0
+        pos_dropped = None
         if 0 < k < b * n:
             # Positive-gather: the loss only sees the K highest-weight
-            # anchors (exact — dropped terms are weight-0; see
-            # DetectorConfig.loss_pos_topk). Gradients flow through the
-            # gather to the positives, which are the only anchors whose
-            # regression gradient is nonzero anyway.
+            # anchors — exact only while positives <= K (dropped terms are
+            # weight-0; see DetectorConfig.loss_pos_topk). A breach
+            # truncates the regression loss, so it is surfaced as
+            # metric_pos_dropped in the logged metrics (0 in any healthy
+            # run; gradient-free, excluded from the optimized total).
+            pos_dropped = jnp.maximum(
+                jnp.sum((weights > 0).astype(jnp.int32)) - k, 0
+            ).astype(jnp.float32)
             weights, idx = jax.lax.top_k(weights, k)
             preds = preds[idx]
             targets = targets[idx]
         loss_bbox = cfg.loss_bbox(
             preds, targets, weights, avg_factor=num_total,
         )
+        if pos_dropped is not None:
+            return {"loss_cls": loss_cls, "loss_bbox": loss_bbox,
+                    "metric_pos_dropped": jax.lax.stop_gradient(pos_dropped)}
     else:
         loss_bbox = cfg.loss_bbox(
             reg.reshape(-1, d),

@@ -173,12 +173,17 @@ def ssd_loss(cfg: SSDConfig, cls_scores, bbox_preds, anchors,
         neg_sel = neg & (rank < num_neg)
 
         loss_cls = jnp.sum(jnp.where(pos | neg_sel, ce, 0.0))
+        dropped = jnp.zeros((), jnp.float32)
         if cfg.reg_decoded_bbox:
             pred_boxes = coder.decode(anchors, reg_i)
             matched = take_rows(boxes, safe)
             w = pos.astype(jnp.float32)
             k = min(cfg.loss_pos_topk, w.shape[0]) if cfg.loss_pos_topk else 0
             if 0 < k < w.shape[0]:
+                # Exact only while num_pos <= k; a breach silently
+                # truncates the regression loss, so it is surfaced as
+                # metric_pos_dropped (advisor r4).
+                dropped = jnp.maximum(num_pos - k, 0).astype(jnp.float32)
                 w, idx = jax.lax.top_k(w, k)
                 pred_boxes, matched = pred_boxes[idx], matched[idx]
             loss_bbox = cfg.loss_bbox(
@@ -191,12 +196,15 @@ def ssd_loss(cfg: SSDConfig, cls_scores, bbox_preds, anchors,
                             0.5 * diff * diff / cfg.smoothl1_beta,
                             diff - 0.5 * cfg.smoothl1_beta)
             loss_bbox = jnp.sum(jnp.where(pos[:, None], sl1, 0.0))
-        return loss_cls, loss_bbox, num_pos
+        return loss_cls, loss_bbox, num_pos, dropped
 
-    lc, lb, np_ = jax.vmap(single)(overlaps, gt_boxes, gt_labels, gt_mask,
-                                   cls, reg)
+    lc, lb, np_, dr = jax.vmap(single)(overlaps, gt_boxes, gt_labels,
+                                       gt_mask, cls, reg)
     denom = jnp.maximum(jnp.sum(np_), 1.0)
-    return {"loss_cls": jnp.sum(lc) / denom, "loss_bbox": jnp.sum(lb) / denom}
+    out = {"loss_cls": jnp.sum(lc) / denom, "loss_bbox": jnp.sum(lb) / denom}
+    if cfg.reg_decoded_bbox and cfg.loss_pos_topk:
+        out["metric_pos_dropped"] = jax.lax.stop_gradient(jnp.sum(dr))
+    return out
 
 
 def ssd_predict(cfg: SSDConfig, cls_scores, bbox_preds) -> NMSResult:

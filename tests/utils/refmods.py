@@ -86,14 +86,23 @@ def _stub_mmcv(diff_mod) -> None:
         a2 = (b2[..., 2] - b2[..., 0]) * (b2[..., 3] - b2[..., 1])
         return inter / (a1 + a2 - inter + eps)
 
-    if "mmcv" not in sys.modules:
+    # Extend whatever mmcv stub already exists instead of skipping: the
+    # mean_ap loader below installs a bare ``mmcv`` first when the eval
+    # differential tests collect earlier in the suite, and gating on
+    # ``"mmcv" in sys.modules`` then silently dropped ``.ops`` — erroring
+    # all 13 differential tests in a one-shot ``pytest tests/`` run
+    # (VERDICT r4 item 3). Both installers are now idempotent per
+    # *submodule*, so they compose in either order.
+    mmcv = sys.modules.get("mmcv")
+    if mmcv is None:
         mmcv = types.ModuleType("mmcv")
+        sys.modules["mmcv"] = mmcv
+    if "mmcv.ops" not in sys.modules:
         ops = types.ModuleType("mmcv.ops")
         ops.box_iou_rotated = box_iou_rotated
         ops.bbox_overlaps = bbox_overlaps
         ops.diff_iou_rotated_2d = diff_mod.diff_iou_rotated_2d
         mmcv.ops = ops
-        sys.modules["mmcv"] = mmcv
         sys.modules["mmcv.ops"] = ops
 
 

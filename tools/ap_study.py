@@ -340,6 +340,15 @@ def merge_reports(base: dict, new: dict) -> dict:
         for name, bv in bfr["variants"].items():
             v = fr["variants"].setdefault(
                 name, {"overrides": bv["overrides"], "seeds": {}})
+            if bv["overrides"] != v["overrides"]:
+                # A variant whose overrides changed between sweeps must not
+                # fold old-config seeds into the new means (advisor r4):
+                # the merged row would average heterogeneous runs under the
+                # new overrides label.
+                print(f"[merge] skipping stale seeds for {fam}/{name}: "
+                      f"base overrides {bv['overrides']} != "
+                      f"current {v['overrides']}")
+                continue
             for s, m in bv["seeds"].items():
                 v["seeds"].setdefault(s, m)
     for fr in fams.values():
