@@ -105,13 +105,24 @@ def build_datasets(cfg: dict, split: str = "train", num_shards: int = 1,
         img_prefix=d.get("img_prefix", ""),
         box_version=cfg["model"].get("box_version", 4),
     )
+    img_size = tuple(cfg.get("img_size", (512, 1024)))
+    colorspace = cfg["data"].get("transfer_colorspace", "rgb")
+    if colorspace == "auto":
+        # measured link-vs-host trade (data/policy.py): yuv420 on
+        # bandwidth-starved links, rgb when host CPU binds first
+        from ..data.policy import resolve_transfer_colorspace
+
+        colorspace = resolve_transfer_colorspace(
+            img_size, num_workers=cfg["data"].get("workers_per_gpu", 4))
     pipe = SphPipeline(
-        img_size=tuple(cfg.get("img_size", (512, 1024))),
+        img_size=img_size,
         flip_ratio=cfg["data"].get("flip_ratio", 0.5) if split == "train" else 0.0,
         max_gt=cfg["data"].get("max_gt", 64),
         box_version=cfg["model"].get("box_version", 4),
         training=split == "train",
-        normalize_on_device=cfg["data"].get("normalize_on_device", False),
+        normalize_on_device=cfg["data"].get("normalize_on_device", False)
+        or colorspace == "yuv420",
+        transfer_colorspace=colorspace,
     )
     loader = DataLoader(
         ds, pipe,

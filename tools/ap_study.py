@@ -54,6 +54,14 @@ VARIANTS = [
     ("assign_fov", [
         "train_cfg.assigner.backend=fov",
     ]),
+    # Control arm (VERDICT r4 item 1): the exact unbiased oracle AS the
+    # training assigner. Decides whether any approximate backend's AP
+    # delta comes from its assignment geometry (then unbiased should sit
+    # at the top-quality end) or from benchmark/training noise (then all
+    # assignment arms land inside the seed-noise band).
+    ("assign_unbiased", [
+        "train_cfg.assigner.backend=unbiased",
+    ]),
     # Full Kent pipeline (the fork's kent_retinanet config: KLD-IoU
     # assignment + Kent KLD loss on decoded boxes) — the fork itself never
     # published Kent AP numbers; this variant demonstrates the path trains

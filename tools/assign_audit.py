@@ -280,7 +280,7 @@ def write_markdown(report, path):
 
 def run_audit(*, data_root, out_dir, config, split="train",
               backends=DEFAULT_BACKENDS, batch=8, device=None,
-              max_images=None):
+              max_images=None, extra_overrides=()):
     from sph_retina_tpu.utils.device import pin_platform
 
     pin_platform(device)
@@ -292,7 +292,8 @@ def run_audit(*, data_root, out_dir, config, split="train",
     with open(ann) as f:
         ncls = len(json.load(f)["categories"])
     cfg = apply_overrides(load_config(config),
-                          [f"model.num_classes={ncls}"])
+                          [f"model.num_classes={ncls}",
+                           *extra_overrides])
     _, det_cfg = get_family(cfg).build(cfg)
     anchors = np.asarray(det_cfg.flat_anchors())
     boxes, mask = load_gt(ann)
