@@ -328,6 +328,77 @@ bool decode_jpeg_ycbcr(FILE* f, Image* img, int target_h, int target_w) {
   return true;
 }
 
+// Raw-data decode: libjpeg hands back the post-IDCT component planes at
+// their NATIVE sampling (Y full-res, Cb/Cr subsampled for 4:2:0) — no
+// chroma upsample, no color conversion, and for the common
+// already-4:2:0-at-target case the planes below are memcpy'd straight
+// into the packed chart. This is the speed-of-light JPEG->I420 path; the
+// interleaved decode_jpeg_ycbcr path (which upsamples chroma to full res
+// only for us to subsample it again) remains as the fallback for
+// grayscale/odd sampling factors and when DCT scaling is engaged (raw
+// mode + scaling interplay varies across libjpeg builds).
+struct Plane {
+  std::vector<unsigned char> data;  // row-major, padded rows at the tail
+  int h = 0, w = 0;                 // real (downsampled) dims
+};
+
+bool decode_jpeg_raw_planes(FILE* f, Plane planes[3]) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK ||
+      cinfo.jpeg_color_space != JCS_YCbCr || cinfo.num_components != 3) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_YCbCr;
+  cinfo.raw_data_out = TRUE;
+  cinfo.do_fancy_upsampling = FALSE;
+  jpeg_start_decompress(&cinfo);
+
+  const int mcu_rows = cinfo.max_v_samp_factor * DCTSIZE;
+  JSAMPROW rowptr[3][16];
+  JSAMPARRAY comp_rows[3] = {rowptr[0], rowptr[1], rowptr[2]};
+  int comp_mcu[3];
+  for (int c = 0; c < 3; ++c) {
+    const jpeg_component_info& ci = cinfo.comp_info[c];
+    planes[c].w = ci.downsampled_width;
+    planes[c].h = ci.downsampled_height;
+    comp_mcu[c] = ci.v_samp_factor * DCTSIZE;
+    if (comp_mcu[c] > 16) {  // cannot happen for baseline JPEG; be safe
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    // pad the buffer so the last iMCU row's pointers stay in bounds
+    const size_t padded_h =
+        (size_t(planes[c].h) + comp_mcu[c] - 1) / comp_mcu[c] * comp_mcu[c];
+    planes[c].data.resize(padded_h * planes[c].w);
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    for (int c = 0; c < 3; ++c) {
+      const size_t base =
+          size_t(cinfo.output_scanline) * comp_mcu[c] / mcu_rows;
+      for (int r = 0; r < comp_mcu[c]; ++r) {
+        rowptr[c][r] = planes[c].data.data() + (base + r) * planes[c].w;
+      }
+    }
+    if (jpeg_read_raw_data(&cinfo, comp_rows, mcu_rows) == 0) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
 // JFIF full-range RGB -> YCbCr, in place (PNG sources).
 void rgb_to_ycbcr(Image* img) {
   unsigned char* p = img->data.data();
@@ -391,6 +462,55 @@ void resample_channel_u8(const Image& img, int ch, unsigned char* out, int th,
   }
 }
 
+// Bilinear-resample one stride-1 plane to (th, tw) with output stride
+// `ostride`; fast row copy (or reversed copy under flip) when the plane is
+// already at target size.
+void resample_plane_u8(const Plane& p, unsigned char* out, int th, int tw,
+                       int ostride, int flip) {
+  if (p.h == th && p.w == tw) {
+    for (int y = 0; y < th; ++y) {
+      const unsigned char* src = p.data.data() + size_t(y) * p.w;
+      unsigned char* orow = out + size_t(y) * ostride;
+      if (!flip) {
+        memcpy(orow, src, tw);
+      } else {
+        for (int x = 0; x < tw; ++x) orow[tw - 1 - x] = src[x];
+      }
+    }
+    return;
+  }
+  const float sy = float(p.h) / th;
+  ColTab ct(tw, p.w);
+  for (int y = 0; y < th; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = (int)floorf(fy);
+    float wy = fy - y0;
+    int y0c = y0 < 0 ? 0 : (y0 >= p.h ? p.h - 1 : y0);
+    int y1c = y0 + 1 < 0 ? 0 : (y0 + 1 >= p.h ? p.h - 1 : y0 + 1);
+    const unsigned char* r0 = p.data.data() + size_t(y0c) * p.w;
+    const unsigned char* r1 = p.data.data() + size_t(y1c) * p.w;
+    unsigned char* orow = out + size_t(y) * ostride;
+    for (int x = 0; x < tw; ++x) {
+      int xd = flip ? (tw - 1 - x) : x;
+      const float wx = ct.wx[x];
+      float top = r0[ct.x0[x]] * (1 - wx) + r0[ct.x1[x]] * wx;
+      float bot = r1[ct.x0[x]] * (1 - wx) + r1[ct.x1[x]] * wx;
+      float v = top * (1 - wy) + bot * wy;
+      v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+      orow[xd] = (unsigned char)(v + 0.5f);
+    }
+  }
+}
+
+bool is_jpeg_file(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  unsigned char magic[2] = {0, 0};
+  size_t got = fread(magic, 1, 2, f);
+  fclose(f);
+  return got == 2 && magic[0] == 0xFF && magic[1] == 0xD8;
+}
+
 }  // namespace
 
 extern "C" {
@@ -400,6 +520,22 @@ extern "C" {
 int sph_load_image_yuv(const char* path, unsigned char* out, int oh, int ow,
                        int flip) {
   if (oh % 2 || ow % 2) return 2;
+  // Fast path: raw-plane decode (native 4:2:0, no chroma round trip).
+  if (is_jpeg_file(path)) {
+    Plane planes[3];
+    FILE* f = fopen(path, "rb");
+    bool ok = f && decode_jpeg_raw_planes(f, planes);
+    if (f) fclose(f);
+    if (ok && planes[0].w > 0 && planes[0].h > 0) {
+      unsigned char* yplane = out;
+      unsigned char* uplane = out + size_t(oh) * ow;
+      resample_plane_u8(planes[0], yplane, oh, ow, ow, flip);
+      resample_plane_u8(planes[1], uplane, oh / 2, ow / 2, ow, flip);
+      resample_plane_u8(planes[2], uplane + ow / 2, oh / 2, ow / 2, ow,
+                        flip);
+      return 0;
+    }
+  }
   Image img;
   if (!load_ycbcr(path, &img, oh, ow)) return 1;
   unsigned char* yplane = out;

@@ -22,20 +22,42 @@ import numpy as np
 
 
 def _probe_host_rates(img_size, n=6):
-    """Single-thread img/s of the resize(+pack) host path for both
-    colorspaces, on synthetic in-memory images (decode excluded — it is
-    common to both paths, so it cancels in the comparison only when the
-    link, not the host, binds; including it would need real files)."""
+    """Single-thread img/s of the full decode+resize(+pack) host path for
+    both colorspaces. Probes the real file path (a temp JPEG through the
+    native loader when available — its raw-plane I420 decode is *faster*
+    than the RGB path, which inverts the naive pack-costs-extra intuition);
+    falls back to the in-memory python pipeline otherwise."""
+    import tempfile
+
     from .pipeline import SphPipeline
 
     h, w = img_size
+    img = (np.random.default_rng(0).random((h, w, 3)) * 255).astype(np.uint8)
+
+    from . import native_loader
+
+    if native_loader.available():
+        from PIL import Image
+
+        with tempfile.NamedTemporaryFile(suffix=".jpg") as tmp:
+            Image.fromarray(img).save(tmp.name, quality=85)
+            out = {}
+            for name, fn in (
+                    ("rgb", native_loader.load_image_u8),
+                    ("yuv420", native_loader.load_image_yuv)):
+                fn(tmp.name, img_size)  # warm
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    fn(tmp.name, img_size)
+                out[name] = n / (time.perf_counter() - t0)
+            return out
+
     rgb_pipe = SphPipeline(img_size=img_size, training=False,
                            normalize_on_device=True,
                            transfer_colorspace="rgb")
     yuv_pipe = SphPipeline(img_size=img_size, training=False,
                            normalize_on_device=True,
                            transfer_colorspace="yuv420")
-    img = (np.random.default_rng(0).random((h, w, 3)) * 255).astype(np.uint8)
     item = {"image": img, "boxes": np.zeros((0, 4), np.float32),
             "labels": np.zeros((0,), np.int32)}
     rng = np.random.default_rng(0)
