@@ -26,6 +26,29 @@ def _run(env_extra, timeout=420):
     return json.loads(lines[-1])
 
 
+def test_marginal_seconds_discards_inversions():
+    """One tunnel-jitter inversion (t_long < t_short) produced the negative
+    round-4 headline; the estimator must discard it and answer with the
+    median of the positive estimates (VERDICT r4 item 2)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    calls = iter([1.0, 0.5,      # inversion -> negative marginal, discarded
+                  0.2, 1.0,      # (1.0-0.2)/8 = 0.1
+                  0.3, 1.18,     # 0.11
+                  0.25, 0.97])   # 0.09
+    est = bench._marginal_seconds(lambda n: next(calls), 2, 10, trials=3)
+    assert abs(est - 0.1) < 1e-9
+
+    # all-inversion pathology: raises instead of emitting garbage
+    bad = iter([1.0, 0.5] * 9)
+    try:
+        bench._marginal_seconds(lambda n: next(bad), 2, 10, trials=3)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
+
+
 def test_bench_emits_one_json_line():
     out = _run({"BENCH_ATTEMPTS": "1", "BENCH_ATTEMPT_TIMEOUT": "400"})
     assert out["metric"] == "sph2pob_iou_pairs_per_sec"

@@ -154,6 +154,7 @@ def write_sphere_bench(
     occlusion_frac: float = 0.30,
     box_version: int = 4,
     seed: int = 0,
+    fov_range=(12.0, 85.0),
 ):
     """Write the benchmark split; returns (ann_file, img_dir).
 
@@ -185,7 +186,7 @@ def write_sphere_bench(
             stratum = ("polar" if u < polar_frac
                        else "seam" if u < polar_frac + seam_frac
                        else "body")
-            box = _sample_box(rng, stratum)
+            box = _sample_box(rng, stratum, fov_range=fov_range)
             if box_version == 5:
                 box.append(float(rng.uniform(-45.0, 45.0)))
             label = int(rng.integers(0, num_classes))
@@ -198,8 +199,10 @@ def write_sphere_bench(
                 part = [
                     float((t + rng.uniform(-0.6, 0.6) * fx) % 360.0),
                     float(np.clip(p + rng.uniform(-0.6, 0.6) * fy, 5.0, 175.0)),
-                    float(np.clip(fx * np.exp(rng.uniform(-0.4, 0.2)), 12.0, 85.0)),
-                    float(np.clip(fy * np.exp(rng.uniform(-0.4, 0.2)), 12.0, 85.0)),
+                    float(np.clip(fx * np.exp(rng.uniform(-0.4, 0.2)),
+                                  *fov_range)),
+                    float(np.clip(fy * np.exp(rng.uniform(-0.4, 0.2)),
+                                  *fov_range)),
                 ]
                 if box_version == 5:
                     part.append(float(rng.uniform(-45.0, 45.0)))
