@@ -118,3 +118,37 @@ def test_profile_step_memory_smoke(tmp_path):
                 "--batch-size", "1", "--device", "cpu"], timeout=900)
     assert "remat=False" in out and "remat=True" in out
     assert "remat saves" in out or "unavailable" in out
+
+
+def test_bench_host_pipeline_smoke(tmp_path):
+    """Host-pipeline scaling bench: per-stage costs + loader img/s for both
+    transfer colorspaces (no device)."""
+    out_json = tmp_path / "host.json"
+    out = _run(["tools/bench_host_pipeline.py", "--img-size", "64", "128",
+                "--n-images", "8", "--workers", "1", "2",
+                "--out", str(out_json)], timeout=600)
+    rec = json.loads(out_json.read_text())
+    assert rec["stages_single_thread"]["pil_decode_ms"] > 0
+    for cs in ("rgb", "yuv420"):
+        for nw in ("1", "2"):
+            assert rec["loader_imgs_per_sec"][cs][nw] > 0
+    assert "| workers | rgb img/s | yuv420 img/s |" in out
+
+
+def test_transfer_colorspace_policy_resolves():
+    """'auto' resolves via the measured-rate formula; injected probes make
+    the decision deterministic in both directions."""
+    from sph_retina_tpu.data.policy import resolve_transfer_colorspace
+
+    slow_link = lambda: 3e6         # 3 MB/s tunnel
+    fast_link = lambda: 10e9        # PCIe-class
+    host = lambda img_size: {"rgb": 300.0, "yuv420": 250.0}
+    assert resolve_transfer_colorspace(
+        (512, 1024), probe_link=slow_link, probe_host=host) == "yuv420"
+    assert resolve_transfer_colorspace(
+        (512, 1024), probe_link=fast_link, probe_host=host) == "rgb"
+    # probe failure -> safe rgb default
+    def broken():
+        raise OSError("no device")
+    assert resolve_transfer_colorspace(
+        (512, 1024), probe_link=broken, probe_host=host) == "rgb"

@@ -64,6 +64,7 @@ def time_per_image(fn, paths, warmup=2):
 
 
 def bench_stages(cache, img_size, n=32):
+    n = min(n, len([f for f in os.listdir(cache) if f.endswith(".jpg")]))
     from PIL import Image
 
     from sph_retina_tpu.data import native_loader
