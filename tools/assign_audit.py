@@ -54,13 +54,22 @@ BAND = (0.3, 0.7)
 HIST_EDGES = np.linspace(0.0, 1.0, 21)
 
 
-def load_gt(ann_file, max_gt=None):
-    """(boxes (I, G, 4) deg padded, mask (I, G) bool) from a COCO-sph json."""
+def load_gt(ann_file, max_gt=None, stratum=None):
+    """(boxes (I, G, 4) deg padded, mask (I, G) bool) from a COCO-sph json.
+
+    ``stratum``: keep only images tagged with it ('polar'/'seam'), or only
+    untagged images for 'body' (sphere-bench strata tags)."""
     with open(ann_file) as f:
         coco = json.load(f)
-    per_img = {im["id"]: [] for im in coco["images"]}
+    keep = set()
+    for im in coco["images"]:
+        tags = im.get("strata", ())
+        if (stratum is None or (stratum == "body" and not tags)
+                or (stratum in tags)):
+            keep.add(im["id"])
+    per_img = {im["id"]: [] for im in coco["images"] if im["id"] in keep}
     for a in coco["annotations"]:
-        if not a.get("iscrowd", 0):
+        if not a.get("iscrowd", 0) and a["image_id"] in per_img:
             per_img[a["image_id"]].append(a["bbox"][:4])
     gmax = max_gt or max(len(v) for v in per_img.values())
     n = len(per_img)
@@ -280,7 +289,7 @@ def write_markdown(report, path):
 
 def run_audit(*, data_root, out_dir, config, split="train",
               backends=DEFAULT_BACKENDS, batch=8, device=None,
-              max_images=None, extra_overrides=()):
+              max_images=None, extra_overrides=(), stratum=None):
     from sph_retina_tpu.utils.device import pin_platform
 
     pin_platform(device)
@@ -296,13 +305,14 @@ def run_audit(*, data_root, out_dir, config, split="train",
                            *extra_overrides])
     _, det_cfg = get_family(cfg).build(cfg)
     anchors = np.asarray(det_cfg.flat_anchors())
-    boxes, mask = load_gt(ann)
+    boxes, mask = load_gt(ann, stratum=stratum)
     if max_images:
         boxes, mask = boxes[:max_images], mask[:max_images]
 
     report = {
         "config": os.path.relpath(config),
         "split": split,
+        "stratum": stratum,
         "n_images": int(boxes.shape[0]),
         "n_gts": int(mask.sum()),
         "n_anchors": int(anchors.shape[0]),
@@ -338,12 +348,16 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"])
+    p.add_argument("--stratum", default=None,
+                   choices=["polar", "seam", "body"],
+                   help="restrict to images carrying this sphere-bench "
+                        "stratum tag ('body' = untagged images)")
     p.add_argument("--quick", action="store_true",
                    help="first 16 images only (CI smoke)")
     args = p.parse_args()
     run_audit(data_root=args.data_root, out_dir=args.out, config=args.config,
               split=args.split, backends=tuple(args.backends),
-              batch=args.batch, device=args.device,
+              batch=args.batch, device=args.device, stratum=args.stratum,
               max_images=16 if args.quick else args.max_images)
 
 
