@@ -379,7 +379,7 @@ def merge_reports(base: dict, new: dict) -> dict:
 
 def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
               device=None, variants=None, families=("retinanet",),
-              box_version=4, merge_with=None):
+              box_version=4, merge_with=None, dataset_gen=None):
     from sph_retina_tpu.utils.device import pin_platform
 
     pin_platform(device)
@@ -396,6 +396,10 @@ def run_study(*, data_root, out_dir, seeds, max_epochs=None, quick=False,
     else:
         gen = dict(n_train=500, n_val=100, num_classes=12,
                    img_size=(256, 512))
+    if dataset_gen:
+        # pre-generated / differently-sized dataset (e.g. the stress
+        # split): record ITS parameters and check ITS last images
+        gen.update(dataset_gen)
     _, val_ann = ensure_dataset(data_root, seed=0, box_version=box_version,
                                 **gen)
     strata_by_img = load_strata(val_ann)
