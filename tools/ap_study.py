@@ -514,6 +514,10 @@ def _ordering_lines(o):
 
 
 def write_markdown(report, path):
+    """Regenerate the study markdown. A hand-written ROOT_CAUSE.md next to
+    the output (the measured analysis of the orderings — assignment audit,
+    disagreement map, control arms) is appended verbatim so report merges
+    never clobber it."""
     lines = [
         "# AP-parity study: sphere-bench ablations",
         "",
@@ -540,6 +544,10 @@ def write_markdown(report, path):
         if fr.get("orderings"):
             lines += [""]
             lines += _ordering_lines(fr["orderings"])
+    root_cause = os.path.join(os.path.dirname(path), "ROOT_CAUSE.md")
+    if os.path.exists(root_cause):
+        with open(root_cause) as rc:
+            lines += ["", rc.read().rstrip()]
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
