@@ -221,7 +221,7 @@ def train_variant(cfg, *, seed, work_dir, max_epochs=None):
 
 
 def eval_variant(cfg, state, model, det_cfg, family, strata_by_img,
-                 backend="unbiased"):
+                 backend="unbiased", work_dir=None):
     import jax
 
     from sph_retina_tpu.engine.builder import build_datasets
@@ -233,6 +233,12 @@ def eval_variant(cfg, state, model, det_cfg, family, strata_by_img,
         model, det_cfg, variables, val_loader, backend=backend,
         predict=jax.jit(family.predict_fn(model, det_cfg)),
         return_raw=True)
+    if work_dir:
+        # raw detections + GT per image: lets tools/detection_diagnosis.py
+        # decompose an AP delta into FP-flood / missed-GT / localization
+        # without retraining (a few MB per seed)
+        np.savez_compressed(os.path.join(work_dir, "eval_arrays.npz"),
+                            **arrays)
     strat = stratified_metrics(arrays, strata_by_img,
                                cfg["model"]["num_classes"], backend=backend)
     return {"AP50": metrics["AP50"], "mAP": metrics["mAP"],
@@ -290,7 +296,7 @@ def _run_variants(cfg_path, variant_list, *, data_overrides, seeds,
                 state, model, det_cfg, family, train_s = train_variant(
                     cfg, seed=seed, work_dir=wd, max_epochs=max_epochs)
                 m = eval_variant(cfg, state, model, det_cfg, family,
-                                 strata_by_img)
+                                 strata_by_img, work_dir=wd)
             except FloatingPointError as e:
                 # one diverging variant (NaN-loss hook) must not kill the
                 # whole study — record it and keep going
