@@ -35,6 +35,32 @@ for variants, seeds in jobs:
               merge_with="work_dirs/ap_study/report.json")
 EOF
 
+# 2b. mechanism experiment: the approximations UNDERESTIMATE IoU (audit
+#     band signed err: sph -0.134, fov -0.026), so they act as implicitly
+#     stricter assigners. If marginal barely-0.5 geometric positives are
+#     the toxin, unbiased assignment with a raised threshold should
+#     recover toward sph's AP.
+timeout 7200 python - <<'EOF'
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "tools")
+from ap_study import run_study
+variants = [
+    ("assign_unbiased_thr60", [
+        "train_cfg.assigner.backend=unbiased",
+        "train_cfg.assigner.pos_iou_thr=0.6",
+        "train_cfg.assigner.neg_iou_thr=0.5",
+    ]),
+    ("assign_unbiased_thr65", [
+        "train_cfg.assigner.backend=unbiased",
+        "train_cfg.assigner.pos_iou_thr=0.65",
+        "train_cfg.assigner.neg_iou_thr=0.55",
+    ]),
+]
+run_study(data_root="work_dirs/sphere_bench", out_dir="work_dirs/ap_study",
+          seeds=[0, 1], variants=variants, families=("retinanet",),
+          merge_with="work_dirs/ap_study/report.json")
+EOF
+
 # 3. distortion-stressed study (VERDICT item 5): 1000 train imgs, the
 #    assignment axis where backends maximally disagree; 2 seeds now, more
 #    merged later if time allows
