@@ -57,7 +57,7 @@ variants = [
     ]),
 ]
 run_study(data_root="work_dirs/sphere_bench", out_dir="work_dirs/ap_study",
-          seeds=[0, 1], variants=variants, families=("retinanet",),
+          seeds=[0, 1, 2], variants=variants, families=("retinanet",),
           merge_with="work_dirs/ap_study/report.json")
 EOF
 
