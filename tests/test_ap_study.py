@@ -47,25 +47,37 @@ def test_quick_study_single_variant(tmp_path):
 
 def test_published_report_orderings_hold():
     """Regression-gate the claims the published sphere-bench study makes
-    (see CAPABILITIES.md "Known gaps"): a regenerated report that loses a
-    published finding fails CI instead of landing silently.
+    (see work_dirs/ap_study/ROOT_CAUSE.md): a regenerated report that
+    loses a published finding fails CI instead of landing silently.
 
-    Published round-4 findings (seed 0, 24 epochs, 500 images):
-    - assignment axis: sph2pob assignment >> fov assignment;
+    Round-5 measured findings (5 seeds on the assignment axis):
+    - the EXACT unbiased oracle as the training assigner (the densest
+      assignment, 222 pos/img) trains consistently WORSE than every
+      approximation: its mean sits far below ciou's, and it loses the
+      paired per-seed comparison against ciou on (almost) every shared
+      seed — the marginal-positive-toxicity result;
+    - the approximations (sph2pob / sph / fov) are statistically tied at
+      this benchmark scale: per-seed spread ~0.2 AP50 dwarfs their mean
+      differences (the round-4 single-seed orderings were seed draw) —
+      consistent with the reference paper's real-data near-tie;
     - FCOS: decoded Sph2Pob-CIoU beats the L1 baseline (AP50 and mAP);
-    - every detector family trains to a working detector (AP50 > 0.35);
-    - anchor-based families score L1 ~= or slightly above CIoU on this
-      synthetic benchmark — the paper's real-data CIoU advantage is NOT
-      asserted for them (recorded honestly in the report; see the
-      known-gaps note).
+    - every detector family trains to a working detector (AP50 > 0.35).
     """
     path = os.path.join(REPO, "work_dirs", "ap_study", "report.json")
     if not os.path.exists(path):
         pytest.skip("full study report not published yet")
     with open(path) as f:
         report = json.load(f)
-    o = report["orderings"]
-    assert o["sph2pob_assign_gt_fov_assign"], report["variants"]
+    v = report["families"]["retinanet"]["variants"]
+    if "assign_unbiased" in v:
+        ub, ciou = v["assign_unbiased"], v["ciou"]
+        assert ub["AP50_mean"] < 0.6 * ciou["AP50_mean"], (
+            ub["AP50_mean"], ciou["AP50_mean"])
+        shared = set(ub["seeds"]) & set(ciou["seeds"])
+        wins = sum(ub["seeds"][s]["AP50"] < ciou["seeds"][s]["AP50"]
+                   for s in shared if "AP50" in ub["seeds"][s]
+                   and "AP50" in ciou["seeds"][s])
+        assert wins >= max(1, len(shared) - 1), (wins, len(shared))
     fams = report["families"]
     fcos = fams["fcos"]
     assert fcos["orderings"]["ciou_gt_l1"], fcos["variants"]
