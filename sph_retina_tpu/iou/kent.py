@@ -70,7 +70,15 @@ def _sample_box_points(boxes_rad):
     ignores gamma — rotation-blind kent IoU/loss for rotated boxes).
     """
     lon = boxes_rad[..., 0] - jnp.pi          # phi00
-    lat = boxes_rad[..., 1] - jnp.pi / 2.0    # theta00
+    # Keep the center strictly off the ERP poles: at phi = 0 or pi the Kent
+    # mean direction hits alpha = 0/pi where the (alpha, psi, eta) frame is
+    # singular — arccos has infinite gradient at +-1 and eta = atan2(0, 0)
+    # NaNs the backward pass. Coder-decoded boxes land exactly on the
+    # [0, 180] phi clamp early in training (the step-1 NaN of the
+    # KLD-gradient Kent config; same pole class as the fov = pi guard
+    # below). 1e-2 rad (~0.57 deg) bounds the arccos gradient at ~1e2.
+    lat = jnp.clip(boxes_rad[..., 1] - jnp.pi / 2.0,
+                   -(jnp.pi / 2.0 - 1e-2), jnp.pi / 2.0 - 1e-2)
     # Keep the FoVs strictly inside (0, pi): tan(fov/2) hits its pole at
     # fov = pi and its zero at fov = 0, and coder-decoded boxes land
     # exactly on the 180-deg clamp during early training — unguarded,
@@ -125,7 +133,9 @@ def _kent_moments(boxes_rad: jax.Array):
     r1 = jnp.sqrt(jnp.sum(xbar * xbar, axis=-1))
     g1 = xbar / jnp.maximum(r1[..., None], _EPS)
 
-    alpha = jnp.arccos(jnp.clip(g1[..., 0], -1.0, 1.0))
+    # arccos'(x) = -1/sqrt(1-x^2) is infinite at +-1; the 1e-7 margin
+    # bounds the gradient (~2e3) without moving any non-degenerate frame
+    alpha = jnp.arccos(jnp.clip(g1[..., 0], -1.0 + 1e-7, 1.0 - 1e-7))
     eta = jnp.arctan2(g1[..., 2], g1[..., 1])
 
     # H frame (kent_formator.py:110-115), rows of H^T
@@ -142,8 +152,21 @@ def _kent_moments(boxes_rad: jax.Array):
     b23 = quad(h2, h3)
     b33 = quad(h3, h3)
 
-    # 2x2 symmetric eigen: major axis at half-angle psi
-    psi = 0.5 * jnp.arctan2(2.0 * b23, b22 - b33)
+    # 2x2 symmetric eigen: major axis at half-angle psi. For an ISOTROPIC
+    # box (fov_x == fov_y — e.g. decodes clamped to 180x180) the 2x2
+    # moment is degenerate: both atan2 args underflow to ~0 and
+    # atan2(0, 0) has a NaN gradient. Whether they round to exactly zero
+    # depends on XLA fusion (the bug reproduced batched but not
+    # standalone). psi is arbitrary there (beta ~ 0 makes the frame
+    # irrelevant), so pin it to 0 with the double-where pattern that
+    # keeps NaN out of the untaken branch's gradient.
+    num = 2.0 * b23
+    den = b22 - b33
+    degenerate = (jnp.abs(num) + jnp.abs(den)) < 1e-10
+    psi = jnp.where(
+        degenerate, 0.0,
+        0.5 * jnp.arctan2(jnp.where(degenerate, 0.0, num),
+                          jnp.where(degenerate, 1.0, den)))
     cp, sp = jnp.cos(psi), jnp.sin(psi)
     # gamma2/3 = H @ (0, cos psi, sin psi) / (0, -sin psi, cos psi)
     g2 = cp[..., None] * h2 + sp[..., None] * h3

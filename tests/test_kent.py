@@ -217,3 +217,51 @@ def test_kent_loss_degenerate_boxes_finite_grads():
     assert np.isfinite(np.asarray(grad)).all()
     # zero-weight row contributes no gradient
     assert float(jnp.abs(grad[1]).sum()) == 0.0
+
+
+def test_kent_loss_pole_and_isotropic_finite_grads():
+    """The two round-5 NaN sources of the gradient-through-KLD config
+    (diverged at step 1 at study settings until fixed):
+
+    1. decodes clamped to phi = 0/180 put the Kent mean direction exactly
+       on the ERP pole, where arccos'(+-1) is infinite and
+       eta = atan2(0, 0) — guarded by the latitude clamp in
+       _sample_box_points;
+    2. ISOTROPIC boxes (fov_x == fov_y, e.g. 180x180 clamps) degenerate
+       the 2x2 moment eigenproblem: psi = 0.5*atan2(~0, ~0), whose NaN
+       gradient appears or not depending on XLA fusion rounding (batched
+       vs standalone differed) — guarded by the double-where psi pin.
+
+    Both must stay finite through value AND grad, in one batch (fusion
+    matters — do not split this into per-row checks).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sph_retina_tpu.iou.kent import sph_kent_loss
+
+    pred = jnp.asarray([
+        [154.33, 0.0, 92.958, 139.925],    # pole-clamped center
+        [100.315, 180.0, 180.0, 180.0],    # pole + isotropic clamp
+        [227.346, 39.285, 180.0, 180.0],   # isotropic 180x180 (bug row)
+        [90.0, 90.0, 30.0, 30.0],          # isotropic, healthy
+        [5.95, 0.493, 41.134, 69.042],     # near-pole, healthy
+    ])
+    target = jnp.asarray([
+        [5.95, 0.493, 41.134, 69.042],
+        [100.0, 120.0, 40.0, 30.0],
+        [229.306, 97.852, 63.159, 50.769],
+        [91.0, 91.0, 28.0, 33.0],
+        [6.0, 1.0, 40.0, 70.0],
+    ])
+    w = jnp.ones((5,))
+    val, grad = jax.value_and_grad(
+        lambda p: sph_kent_loss(p, target, w, avg_factor=5.0))(pred)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+    # and in the reverse KLD direction (target || pred)
+    val2, grad2 = jax.value_and_grad(
+        lambda p: sph_kent_loss(target, p, w, avg_factor=5.0))(pred)
+    assert np.isfinite(float(val2))
+    assert np.isfinite(np.asarray(grad2)).all()
