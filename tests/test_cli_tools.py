@@ -152,3 +152,19 @@ def test_transfer_colorspace_policy_resolves():
         raise OSError("no device")
     assert resolve_transfer_colorspace(
         (512, 1024), probe_link=broken, probe_host=host) == "rgb"
+
+
+def test_mfu_experiment_harness_smoke(tmp_path):
+    """MFU-levers harness (tools/mfu_experiment.py): parent-process plumbing
+    only — an empty experiment list exercises arg parsing, result
+    aggregation, and JSON emission without compiling on a device."""
+    out_json = tmp_path / "mfu.json"
+    out = _run(["tools/mfu_experiment.py", "--out", str(out_json),
+                "--experiments"], timeout=120)
+    assert json.loads(out_json.read_text()) == {}
+    # every named experiment is either the baseline or a TPU compiler option
+    from tools.mfu_experiment import EXPERIMENTS
+    assert EXPERIMENTS["baseline"] is None
+    for name, opts in EXPERIMENTS.items():
+        if opts is not None:
+            assert all(k.startswith("xla_tpu_") for k in opts)
