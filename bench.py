@@ -265,7 +265,8 @@ def bench_kent(batch=8, h=512, w=1024, n=131072):
     # fork's kent training path (base_kent_retinanet_r50_fpn.py:45; its
     # KentLoss exists only as a loss-registry entry there too). The
     # gradient-through-KLD variant is configs/sph_kent_retinanet_kld_*.py
-    # (known-unstable, see CAPABILITIES.md).
+    # (trains finite post-63fd329 pole/eigen guards; 3-seed numbers in
+    # work_dirs/ap_study/AP_STUDY.md).
     file_cfg = load_config("configs/sph_kent_retinanet_r50_fpn_120e_indoor360.py")
     nc = file_cfg["model"]["num_classes"]
     bv = file_cfg["model"].get("box_version", 4)
